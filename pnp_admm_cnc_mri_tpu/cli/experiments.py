@@ -1,0 +1,190 @@
+"""Batched experiment runner reproducing the six reference entry scripts.
+
+Each reference script (``【1】ADMM_L1.py`` ... ``【6】PNP_ADMM_CNC_D .py``)
+loads masks + the fixed noise, loops over a testset one image at a time,
+runs 50 ADMM iterations, and logs PSNR/SSIM/RE per image plus averages.
+Here the whole testset solves as ONE batched jitted program; metrics are
+computed on device and logged in the reference's format.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Callable, Dict, Optional
+
+import numpy as np
+
+from pnp_admm_cnc_mri_tpu.config import (
+    ADMM_CNC_DEFAULT,
+    ADMM_L1_DEFAULT,
+    ADMMConfig,
+)
+from pnp_admm_cnc_mri_tpu.data import images, masks, noise
+from pnp_admm_cnc_mri_tpu.ops import metrics as metrics_mod
+from pnp_admm_cnc_mri_tpu.utils import logger as logger_mod
+
+
+def prepare_batch(
+    testset_dir: str,
+    mask_name: str = "Q_Random30",
+    data_dir: Optional[str] = None,
+    use_clip: bool = True,
+):
+    """Load testset + mask + noise and synthesize observations.
+
+    Returns dict with imgs01 (B,H,W) f64, truth (B,H,W) f64 on the 0-255
+    scale, y (B,H,W) complex128, mask (H,W), names.
+    """
+    imgs01, truth, names = images.load_testset(testset_dir, use_clip=use_clip)
+    mask = masks.load_mask(mask_name, data_dir)
+    kn = noise.load_noise(data_dir)
+    y = np.fft.fft2(imgs01, axes=(-2, -1)) * mask + kn
+    return {"imgs01": imgs01, "truth": truth, "y": y, "mask": mask, "names": names}
+
+
+def score_and_log(
+    x: np.ndarray,
+    truth: np.ndarray,
+    names,
+    result_name: str,
+    results_dir: str = "results",
+    save_images: bool = True,
+    round_uint8: bool = False,
+    log=None,
+) -> Dict[str, float]:
+    """Per-image + average PSNR/SSIM/RE in the reference's log format.
+
+    ``round_uint8`` mirrors ``【6】:315`` which rounds to uint8 before
+    scoring (the other scripts score the float x*255 directly).
+    """
+    import jax.numpy as jnp
+
+    e_path = os.path.join(results_dir, result_name)
+    if log is None:
+        log = logger_mod.logger_info(result_name, os.path.join(e_path, result_name + ".log"))
+
+    img_e = np.asarray(x) * 255.0
+    if round_uint8:
+        img_e = np.float64(np.uint8(img_e.round().clip(0, 255)))
+
+    psnr = np.asarray(metrics_mod.psnr(jnp.asarray(img_e), jnp.asarray(truth)))
+    ssim = np.asarray(metrics_mod.ssim(jnp.asarray(img_e), jnp.asarray(truth)))
+    re = np.asarray(metrics_mod.relative_error(jnp.asarray(img_e), jnp.asarray(truth)))
+
+    for i, name in enumerate(names):
+        log.info(
+            "{:s} - PSNR: {:.2f} dB; SSIM: {:.4f} ; RE: {:.4f}.".format(
+                name + ".png", psnr[i], ssim[i], re[i]
+            )
+        )
+        if save_images:
+            images.imsave(img_e[i], os.path.join(e_path, f"{name}_{result_name}.png"))
+    avg = {
+        "psnr": float(psnr.mean()),
+        "ssim": float(ssim.mean()),
+        "re": float(re.mean()),
+    }
+    log.info(
+        "------> Average PSNR:({:.3f})dB, Average ssim : ({:.3f}), Average re : ({:.3f})".format(
+            avg["psnr"], avg["ssim"], avg["re"]
+        )
+    )
+    return avg
+
+
+def run_classical(
+    algo: str = "admm_l1",
+    testset: str = "set1",
+    mask_name: str = "Q_Random30",
+    cfg: Optional[ADMMConfig] = None,
+    testsets_dir: Optional[str] = None,
+    data_dir: Optional[str] = None,
+    results_dir: str = "results",
+    save_images: bool = True,
+    dtype=None,
+) -> Dict[str, float]:
+    """Run ADMM-L1 or ADMM-CNC over a testset, batched (reference 【1】/【4】)."""
+    import jax
+    import jax.numpy as jnp
+
+    from pnp_admm_cnc_mri_tpu.solvers import admm
+
+    testsets_dir = testsets_dir or images.DEFAULT_TESTSETS
+    batch = prepare_batch(os.path.join(testsets_dir, testset), mask_name, data_dir)
+    if dtype is None:
+        dtype = jnp.float64 if jax.config.read("jax_enable_x64") else jnp.float32
+    cdtype = jnp.complex128 if dtype == jnp.float64 else jnp.complex64
+
+    if cfg is None:
+        cfg = ADMM_L1_DEFAULT if algo == "admm_l1" else ADMM_CNC_DEFAULT
+    solver = {"admm_l1": admm.admm_l1, "admm_cnc": admm.admm_cnc}[algo]
+
+    y = jnp.asarray(batch["y"], cdtype)
+    mask = jnp.asarray(batch["mask"], dtype)
+
+    t0 = time.perf_counter()
+    final, _ = solver(y, mask, cfg, dtype=dtype)
+    x = np.asarray(jax.block_until_ready(final.x))
+    dt = time.perf_counter() - t0
+
+    result_name = f"{testset}_dn_{algo.upper()}_{mask_name}"
+    avg = score_and_log(
+        x, batch["truth"], batch["names"], result_name, results_dir, save_images
+    )
+    avg["wall_s"] = dt
+    avg["images"] = len(batch["names"])
+    avg["iters"] = cfg.iter_num
+    return avg
+
+
+def run_pnp(
+    denoise: Callable,
+    cfg: ADMMConfig,
+    scheme: str = "l1",
+    testset: str = "set1",
+    mask_name: str = "Q_Random30",
+    denoise2: Optional[Callable] = None,
+    clamp: bool = True,
+    testsets_dir: Optional[str] = None,
+    data_dir: Optional[str] = None,
+    results_dir: str = "results",
+    save_images: bool = True,
+    round_uint8: bool = False,
+    result_tag: str = "pnp",
+    dtype=None,
+) -> Dict[str, float]:
+    """Run a PnP variant with an arbitrary denoiser callable (refs 【2】/【3】/【5】/【6】)."""
+    import jax
+    import jax.numpy as jnp
+
+    from pnp_admm_cnc_mri_tpu.solvers import admm
+
+    testsets_dir = testsets_dir or images.DEFAULT_TESTSETS
+    batch = prepare_batch(os.path.join(testsets_dir, testset), mask_name, data_dir)
+    if dtype is None:
+        dtype = jnp.float32
+    cdtype = jnp.complex128 if dtype == jnp.float64 else jnp.complex64
+
+    y = jnp.asarray(batch["y"], cdtype)
+    mask = jnp.asarray(batch["mask"], dtype)
+
+    t0 = time.perf_counter()
+    if scheme == "l1":
+        final, _ = admm.pnp_admm_l1(y, mask, cfg, denoise, clamp=clamp, dtype=dtype)
+    else:
+        final, _ = admm.pnp_admm_cnc(
+            y, mask, cfg, denoise, denoise2, clamp=clamp, dtype=dtype
+        )
+    x = np.asarray(jax.block_until_ready(final.x))
+    dt = time.perf_counter() - t0
+
+    result_name = f"{testset}_dn_{result_tag}_{mask_name}"
+    avg = score_and_log(
+        x, batch["truth"], batch["names"], result_name, results_dir,
+        save_images, round_uint8,
+    )
+    avg["wall_s"] = dt
+    avg["images"] = len(batch["names"])
+    avg["iters"] = cfg.iter_num
+    return avg

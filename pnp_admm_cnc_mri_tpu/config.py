@@ -1,0 +1,85 @@
+"""Structured configuration for solvers and experiments.
+
+The reference scatters configuration across per-script argparse wrappers and
+module-level local variables (reference ``【1】ADMM_L1.py:21-48``); here every
+experiment is a frozen dataclass so configs are hashable (usable as jit
+static args) and serializable.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class ADMMConfig:
+    """Hyper-parameters shared by every ADMM variant.
+
+    Naming follows the reference: ``rho`` is the Lagrange parameter the
+    reference calls ``reo`` (= 1/beta of the CNC paper, reference
+    ``【4】ADMM_CNC .py:40``), ``lam`` the regularization weight ``lambda1``.
+    """
+
+    iter_num: int = 50
+    rho: float = 0.015
+    lam: float = 0.1
+    # CNC-only parameters (reference ``【4】ADMM_CNC .py:126-129``):
+    alpha: float = 0.45
+    b: float = 64.0  # b^2 of the paper
+    # Tolerance-based stopping (new capability; reference always runs a
+    # fixed count). ``tol=None`` reproduces the reference behavior.
+    tol: Optional[float] = None
+
+
+@dataclasses.dataclass(frozen=True)
+class DenoiserConfig:
+    """Configuration of a learned denoiser prior (reference 【3】/【6】)."""
+
+    model_name: str = "dncnn_25"
+    noise_level_model: float = 15.0  # on the [0,255] scale
+    x8: bool = False  # dihedral self-ensemble
+    # sigma-schedule (DRUNet / IRCNN), reference ``utils/utils_pnp.py:14-23``
+    model_sigma1: float = 49.0
+    model_sigma2: Optional[float] = None  # default: noise_level_model
+
+
+# Reference per-model defaults for PnP-ADMM-L1-D (reference
+# ``【3】PNP_ADMM_L1_D  .py:339-348``): (iter_num, rho)
+PNP_L1_DEFAULTS = {
+    "fdncnn_gray": (50, 0.25),
+    "dncnn_15": (50, 0.15),
+    "dncnn_25": (50, 0.15),
+    "dncnn_50": (50, 0.15),
+    "ffdnet_gray": (50, 0.25),
+    "ircnn_gray": (50, 0.145),
+    "drunet_gray": (50, 0.26),
+}
+
+# Reference per-model defaults for PnP-ADMM-CNC-D (reference
+# ``【6】PNP_ADMM_CNC_D .py:569-578``): (alpha, iter_num, lam, rho, b)
+PNP_CNC_DEFAULTS = {
+    "fdncnn_gray": (0.9, 50, 0.2, 0.45, 0.3),
+    "dncnn_pair": (1.2, 50, 4.0, 0.45, 0.3),
+    "ffdnet_gray": (0.9, 50, 1.35, 0.45, 0.3),
+    "ircnn_gray": (0.5, 50, 1.3, 0.45, 2.0),
+    "drunet_gray": (1.0, 50, 0.8, 0.8, 0.45),
+}
+
+# Classical defaults (reference ``【1】ADMM_L1.py:171``, ``【4】ADMM_CNC .py:176``,
+# ``【2】PNP_ADMM_L1_BM3D .py:174``, ``【5】PNP_ADMM_CNC_BM3D .py:183``).
+ADMM_L1_DEFAULT = ADMMConfig(iter_num=50, lam=0.1, rho=0.015)
+ADMM_CNC_DEFAULT = ADMMConfig(iter_num=50, lam=0.5, rho=0.05, alpha=0.45, b=64.0)
+PNP_L1_BM3D_DEFAULT = ADMMConfig(iter_num=50, rho=0.8)
+PNP_CNC_BM3D_DEFAULT = ADMMConfig(iter_num=50, lam=0.02, rho=0.6, alpha=1.2, b=36.0)
+
+MASK_NAMES: Tuple[str, ...] = ("Q_Random30", "Q_Radial30", "Q_Cartesian30")
+MODEL_NAMES: Tuple[str, ...] = (
+    "fdncnn_gray",
+    "drunet_gray",
+    "ircnn_gray",
+    "ffdnet_gray",
+    "dncnn_15",
+    "dncnn_25",
+    "dncnn_50",
+)

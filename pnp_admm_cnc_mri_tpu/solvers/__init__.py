@@ -1,0 +1,11 @@
+from pnp_admm_cnc_mri_tpu.solvers import admm  # noqa: F401
+from pnp_admm_cnc_mri_tpu.solvers.admm import (  # noqa: F401
+    ADMMState,
+    admm_cnc,
+    admm_l1,
+    init_state,
+    pnp_admm_cnc,
+    pnp_admm_l1,
+    run_admm,
+    run_admm_tol,
+)

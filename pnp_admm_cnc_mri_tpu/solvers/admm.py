@@ -1,0 +1,236 @@
+"""The ADMM fixed-point driver — one jitted ``lax.scan`` over iterations.
+
+Where the reference runs a sequential Python loop per image with
+per-iteration host<->device round trips (reference ``【1】ADMM_L1.py:111-126``,
+``【3】PNP_ADMM_L1_D  .py:255-296``), this driver:
+
+- carries the (x, z, w) state as a pytree through ``lax.scan`` so the whole
+  50-iteration solve is a single XLA program;
+- broadcasts over arbitrary leading batch axes, so a scenario grid of
+  (images x masks x noise levels) solves in one program — shard the batch
+  axes over a ``Mesh`` (see ``parallel/``) for multi-chip scaling;
+- exposes the z-update as a pluggable callable, which is how every one of
+  the six reference algorithms (L1 / CNC / x BM3D / x CNN denoiser) is
+  expressed.
+
+The algorithm math is identical to the reference:
+
+    x_{k+1} = DC(z_k - w_k)                 # k-space data-consistency solve
+    z_{k+1} = prox(x_{k+1} + w_k)           # L1 / CNC / denoiser
+    w_{k+1} = w_k + x_{k+1} - z_{k+1}       # dual ascent
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from pnp_admm_cnc_mri_tpu.config import ADMMConfig
+from pnp_admm_cnc_mri_tpu.ops import fourier, prox
+
+
+class ADMMState(NamedTuple):
+    """Primal x, auxiliary z, scaled dual w — all real, shape (..., H, W)."""
+
+    x: jnp.ndarray
+    z: jnp.ndarray
+    w: jnp.ndarray
+
+
+# z_update(iteration_index, x, z, w) -> new z
+ZUpdate = Callable[[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray], jnp.ndarray]
+
+
+def init_state(y: jnp.ndarray, dtype=jnp.float32) -> ADMMState:
+    """Zero-filled magnitude init (reference ``【1】ADMM_L1.py:100-105``)."""
+    x0 = jnp.abs(fourier.zero_fill(y)).astype(dtype)
+    return ADMMState(x=x0, z=x0, w=jnp.zeros_like(x0))
+
+
+def admm_step(
+    state: ADMMState,
+    i: jnp.ndarray,
+    y: jnp.ndarray,
+    mask: jnp.ndarray,
+    rho,
+    z_update: ZUpdate,
+    clamp: bool = False,
+) -> ADMMState:
+    """One ADMM iteration; ``clamp`` reproduces the CNN-variant [0,1] clamp
+    of x, z and the dual w (reference ``【3】PNP_ADMM_L1_D  .py:294-296``)."""
+    x = fourier.data_consistency(state.z - state.w, y, mask, rho)
+    x = x.astype(state.z.dtype)
+    z = z_update(i, x, state.z, state.w)
+    w = state.w + x - z
+    if clamp:
+        x, z, w = prox.clip01(x), prox.clip01(z), prox.clip01(w)
+    return ADMMState(x=x, z=z, w=w)
+
+
+def run_admm(
+    y: jnp.ndarray,
+    mask: jnp.ndarray,
+    iter_num: int,
+    rho,
+    z_update: ZUpdate,
+    clamp: bool = False,
+    dtype=jnp.float32,
+    collect_residuals: bool = False,
+):
+    """Run ``iter_num`` fixed iterations as one ``lax.scan``.
+
+    Returns ``(final_state, residuals)`` where residuals (if requested) is
+    the per-iteration primal residual norm ``||x - z||_F`` per batch element
+    — a psum-able convergence signal with no reference counterpart (the
+    reference never monitors convergence).
+    """
+    state = init_state(y, dtype)
+
+    def step(state, i):
+        new = admm_step(state, i, y, mask, rho, z_update, clamp)
+        out = None
+        if collect_residuals:
+            out = jnp.sqrt(jnp.sum((new.x - new.z) ** 2, axis=(-2, -1)))
+        return new, out
+
+    final, res = jax.lax.scan(step, state, jnp.arange(iter_num))
+    return final, res
+
+
+def run_admm_tol(
+    y: jnp.ndarray,
+    mask: jnp.ndarray,
+    iter_num: int,
+    rho,
+    z_update: ZUpdate,
+    tol: float,
+    clamp: bool = False,
+    dtype=jnp.float32,
+):
+    """Tolerance-stopped variant (new capability; the reference always runs
+    a fixed count, SURVEY.md §2.1 "Fixed iteration count").
+
+    Runs until the worst-case relative primal residual
+    ``max_batch ||x-z||/||x||`` drops below ``tol`` or ``iter_num`` is hit.
+    Uses ``lax.while_loop`` with a static iteration cap, so it stays fully
+    on-device; returns ``(state, iterations_run)``.
+    """
+    state0 = init_state(y, dtype)
+
+    def rel_residual(state):
+        num = jnp.sqrt(jnp.sum((state.x - state.z) ** 2, axis=(-2, -1)))
+        den = jnp.sqrt(jnp.sum(state.x**2, axis=(-2, -1))) + 1e-12
+        return jnp.max(num / den)
+
+    def cond(carry):
+        i, state, res = carry
+        return jnp.logical_and(i < iter_num, res > tol)
+
+    def body(carry):
+        i, state, _ = carry
+        new = admm_step(state, i, y, mask, rho, z_update, clamp)
+        return i + 1, new, rel_residual(new)
+
+    i, state, _ = jax.lax.while_loop(
+        cond, body, (jnp.asarray(0), state0, jnp.asarray(jnp.inf, dtype))
+    )
+    return state, i
+
+
+# ---------------------------------------------------------------------------
+# The four solver families over the generic driver
+# ---------------------------------------------------------------------------
+
+
+def admm_l1(y, mask, cfg: ADMMConfig, dtype=jnp.float32, **kw):
+    """ADMM-L1 (reference ``【1】ADMM_L1.py``): z = soft(x+w, rho*lam)."""
+
+    def z_update(i, x, z, w):
+        return prox.soft(x + w, cfg.rho * cfg.lam)
+
+    if cfg.tol is not None:
+        return run_admm_tol(y, mask, cfg.iter_num, cfg.rho, z_update, cfg.tol, dtype=dtype)
+    return run_admm(y, mask, cfg.iter_num, cfg.rho, z_update, dtype=dtype, **kw)
+
+
+def admm_cnc(y, mask, cfg: ADMMConfig, dtype=jnp.float32, **kw):
+    """ADMM-CNC (reference ``【4】ADMM_CNC .py``): GMC firm-threshold z-update."""
+
+    def z_update(i, x, z, w):
+        return prox.cnc_update(z, x + w, cfg.alpha, cfg.rho, cfg.lam, cfg.b)
+
+    if cfg.tol is not None:
+        return run_admm_tol(y, mask, cfg.iter_num, cfg.rho, z_update, cfg.tol, dtype=dtype)
+    return run_admm(y, mask, cfg.iter_num, cfg.rho, z_update, dtype=dtype, **kw)
+
+
+def pnp_admm_l1(
+    y,
+    mask,
+    cfg: ADMMConfig,
+    denoise: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray],
+    clamp: bool = True,
+    dtype=jnp.float32,
+    **kw,
+):
+    """PnP-ADMM with a denoiser prior: z = D(x+w, i).
+
+    Covers reference ``【2】PNP_ADMM_L1_BM3D .py`` (denoise = BM3D) and
+    ``【3】PNP_ADMM_L1_D  .py`` (denoise = CNN). ``denoise(v, i)`` receives
+    the iteration index for sigma-scheduled priors (DRUNet/IRCNN ladder).
+    ``clamp=True`` mirrors the CNN variants' [0,1] clamping; BM3D variants
+    in the reference do not clamp.
+    """
+
+    def z_update(i, x, z, w):
+        return denoise(x + w, i)
+
+    return run_admm(y, mask, cfg.iter_num, cfg.rho, z_update, clamp=clamp, dtype=dtype, **kw)
+
+
+def pnp_admm_cnc(
+    y,
+    mask,
+    cfg: ADMMConfig,
+    denoise1: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray],
+    denoise2: Optional[Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray]] = None,
+    clamp: bool = True,
+    dtype=jnp.float32,
+    **kw,
+):
+    """PnP-CNC with denoisers in both threshold slots.
+
+    Reference ``【5】PNP_ADMM_CNC_BM3D .py:133-136`` / ``【6】PNP_ADMM_CNC_D
+    .py:300-302``:  s = D1(z); t = (1-a)z + a(x+w) + a rho lam b (z-s);
+    z = D2(t). ``denoise2`` defaults to ``denoise1``; passing two different
+    denoisers reproduces the reference's two-checkpoint
+    ``PNP_ADMM_CNC_DnCNN`` variant (``【6】:372,517-519``).
+    """
+    d2 = denoise2 if denoise2 is not None else denoise1
+
+    def z_update(i, x, z, w):
+        s = denoise1(z, i)
+        return prox.cnc_generalized_update(
+            z, x + w, s, cfg.alpha, cfg.rho, cfg.lam, cfg.b, lambda t: d2(t, i)
+        )
+
+    return run_admm(y, mask, cfg.iter_num, cfg.rho, z_update, clamp=clamp, dtype=dtype, **kw)
+
+
+@functools.partial(jax.jit, static_argnames=("iter_num",))
+def admm_l1_jit(y, mask, iter_num: int, rho, lam):
+    """Fully-jitted ADMM-L1 with traced (rho, lam) — recompile-free sweeps.
+
+    Hyper-parameter sweeps (the reference's logs show hundreds of manual
+    runs) become a single compiled program: vmap this over a (rho, lam)
+    grid and the whole sweep executes in one launch.
+    """
+
+    def z_update(i, x, z, w):
+        return prox.soft(x + w, rho * lam)
+
+    final, _ = run_admm(y, mask, iter_num, rho, z_update, dtype=y.real.dtype)
+    return final.x

@@ -1,0 +1,137 @@
+"""Unit tests for core operators against NumPy oracles (SURVEY.md §4 tier 1)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pnp_admm_cnc_mri_tpu.ops import fourier, metrics, prox, schedules
+from tests import oracle
+
+
+class TestFourier:
+    def test_observe_matches_numpy(self, rng):
+        img = rng.random((32, 32))
+        mask = (rng.random((32, 32)) < 0.3).astype(np.float64)
+        noise = rng.normal(size=(32, 32)) + 1j * rng.normal(size=(32, 32))
+        y = fourier.observe(jnp.asarray(img), jnp.asarray(mask), jnp.asarray(noise))
+        y_np = np.fft.fft2(img) * mask + noise
+        np.testing.assert_allclose(np.asarray(y), y_np, rtol=1e-12, atol=1e-12)
+
+    def test_data_consistency_matches_index_assignment(self, rng):
+        """The where-blend must equal the reference's index assignment."""
+        img = rng.random((32, 32))
+        mask = (rng.random((32, 32)) < 0.3).astype(np.float64)
+        noise = 0.1 * (rng.normal(size=(32, 32)) + 1j * rng.normal(size=(32, 32)))
+        y_np = np.fft.fft2(img) * mask + noise
+        v = rng.random((32, 32))
+        rho = 0.015
+
+        # oracle: reference-style index assignment
+        la2 = 1.0 / 2.0 / rho
+        xf = np.fft.fft2(v)
+        idx = np.nonzero(mask)
+        xf[idx] = (la2 * xf[idx] + y_np[idx]) / (1.0 + la2)
+        expected = np.abs(np.real(np.fft.ifft2(xf)))
+
+        got = fourier.data_consistency(
+            jnp.asarray(v), jnp.asarray(y_np), jnp.asarray(mask), rho
+        )
+        np.testing.assert_allclose(np.asarray(got), expected, rtol=1e-12, atol=1e-12)
+
+    def test_data_consistency_batched(self, rng):
+        imgs = rng.random((3, 16, 16))
+        mask = (rng.random((16, 16)) < 0.4).astype(np.float64)
+        noise = 0.1 * (rng.normal(size=(16, 16)) + 1j * rng.normal(size=(16, 16)))
+        ys = np.fft.fft2(imgs, axes=(-2, -1)) * mask + noise
+        out = fourier.data_consistency(
+            jnp.asarray(imgs), jnp.asarray(ys), jnp.asarray(mask), 0.1
+        )
+        for i in range(3):
+            single = fourier.data_consistency(
+                jnp.asarray(imgs[i]), jnp.asarray(ys[i]), jnp.asarray(mask), 0.1
+            )
+            np.testing.assert_allclose(np.asarray(out[i]), np.asarray(single), rtol=1e-12)
+
+
+class TestProx:
+    def test_soft_matches_reference(self, rng):
+        x = rng.normal(size=(64,)) * 2
+        for c in [0.0, 0.1, 1.5]:
+            np.testing.assert_allclose(
+                np.asarray(prox.soft(jnp.asarray(x), c)), oracle.soft(x, c), rtol=1e-15
+            )
+
+    def test_soft_at_zero(self):
+        # np.sign(0) == 0: soft(0, c) must be exactly 0
+        assert float(prox.soft(jnp.asarray(0.0), 0.5)) == 0.0
+
+    def test_cnc_update_matches_reference_formula(self, rng):
+        z = rng.normal(size=(16, 16))
+        v = rng.normal(size=(16, 16))
+        alpha, rho, lam, b = 0.45, 0.05, 0.5, 64.0
+        s = oracle.soft(z, 1.0 / b)
+        t = (1 - alpha) * z + alpha * v + alpha * rho * lam * b * (z - s)
+        expected = oracle.soft(t, alpha * rho * lam)
+        got = prox.cnc_update(jnp.asarray(z), jnp.asarray(v), alpha, rho, lam, b)
+        np.testing.assert_allclose(np.asarray(got), expected, rtol=1e-14, atol=1e-15)
+
+
+class TestSchedules:
+    def test_rho_sigma_ladder(self):
+        """Match the reference formula endpoints and the rho relation."""
+        sigma = max(0.255 / 255.0, 15 / 255.0)
+        rhos, sigmas = schedules.get_rho_sigma(
+            sigma=sigma, iter_num=50, model_sigma1=49.0, model_sigma2=15.0
+        )
+        assert len(rhos) == len(sigmas) == 50
+        np.testing.assert_allclose(sigmas[0], 49.0 / 255.0, rtol=1e-6)
+        np.testing.assert_allclose(sigmas[-1], 15.0 / 255.0, rtol=1e-6)
+        np.testing.assert_allclose(rhos, 0.23 * sigma**2 / sigmas.astype(np.float64) ** 2)
+        # log-spaced: ratios constant
+        ratios = sigmas[1:] / sigmas[:-1]
+        np.testing.assert_allclose(ratios, ratios[0], rtol=1e-4)
+
+    def test_ircnn_indices(self):
+        _, sigmas = schedules.get_rho_sigma(
+            sigma=15 / 255.0, iter_num=50, model_sigma1=49.0, model_sigma2=15.0
+        )
+        idx = schedules.ircnn_sigma_indices(sigmas)
+        expected = np.int32(np.ceil(sigmas.astype(np.float64) * 255.0 / 2.0) - 1)
+        np.testing.assert_array_equal(idx, expected)
+        assert idx.min() >= 0 and idx.max() <= 24
+
+
+class TestMetrics:
+    def test_psnr(self, rng):
+        a = rng.random((64, 64)) * 255
+        b = rng.random((64, 64)) * 255
+        np.testing.assert_allclose(
+            float(metrics.psnr(jnp.asarray(a), jnp.asarray(b))),
+            oracle.psnr_numpy(a, b),
+            rtol=1e-10,
+        )
+
+    def test_ssim_matches_cv2(self, rng):
+        pytest.importorskip("cv2")
+        a = rng.random((64, 64)) * 255
+        b = np.clip(a + rng.normal(size=(64, 64)) * 20, 0, 255)
+        ours = float(metrics.ssim(jnp.asarray(a), jnp.asarray(b)))
+        ref = oracle.ssim_numpy(a, b)
+        np.testing.assert_allclose(ours, ref, rtol=1e-8)
+
+    def test_re(self, rng):
+        a = rng.random((64, 64)) * 255
+        b = rng.random((64, 64)) * 255
+        np.testing.assert_allclose(
+            float(metrics.relative_error(jnp.asarray(a), jnp.asarray(b))),
+            oracle.re_numpy(a, b),
+            rtol=1e-12,
+        )
+
+    def test_metrics_batched(self, rng):
+        a = rng.random((4, 32, 32)) * 255
+        b = rng.random((4, 32, 32)) * 255
+        batched = metrics.psnr(jnp.asarray(a), jnp.asarray(b))
+        assert batched.shape == (4,)
+        for i in range(4):
+            np.testing.assert_allclose(float(batched[i]), oracle.psnr_numpy(a[i], b[i]), rtol=1e-10)
