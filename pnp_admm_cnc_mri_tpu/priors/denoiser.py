@@ -1,0 +1,239 @@
+"""Denoiser-as-prior adapters: CNN z-updates inside the jitted ADMM loop.
+
+Reproduces the semantics of the reference dispatchers ``denoising_step1``
+(``【3】PNP_ADMM_L1_D  .py:19-68``) and ``denoising_step2``
+(``【6】PNP_ADMM_CNC_D .py:18-67``) as pure jittable callables
+``denoise(v, i)`` with v of shape (..., H, W) in [0,1]:
+
+- ``dncnn_*``:  z = model(v)                      (residual net)
+- ``fdncnn_gray``: concat the |k-space noise|/255 map channel (the
+  reference feeds the noise *magnitude image*, not a constant level map —
+  quirk at ``【3】:27-31``, replicated)
+- ``drunet_gray``: concat the per-iteration sigma-ladder map; optional
+  cycling dihedral augmentation (x8) by iteration index
+- ``ircnn_gray``: 25-way stacked weights, gathered by the sigma-bin
+  schedule on device (vs per-iteration state-dict reloads in the reference)
+- ``ffdnet_gray``: model(v, noise_level/255)
+
+All adapters fold leading batch axes, run the network NHWC, and restore
+the batch shape — no host round trips anywhere.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pnp_admm_cnc_mri_tpu.models import convert
+from pnp_admm_cnc_mri_tpu.models.dncnn import DnCNN, FDnCNN, IRCNN
+from pnp_admm_cnc_mri_tpu.models.drunet import UNetRes
+from pnp_admm_cnc_mri_tpu.models.ffdnet import FFDNet
+from pnp_admm_cnc_mri_tpu.ops import schedules
+
+
+# ---------------------------------------------------------------------------
+# Dihedral transforms (reference ``utils_image.augment_img_tensor4:333-349``)
+# ---------------------------------------------------------------------------
+
+
+def _augment(x: jnp.ndarray, mode: int) -> jnp.ndarray:
+    """Dihedral augment on (..., H, W); mode 0-7 as in the reference."""
+    rot = lambda k: jnp.rot90(x, k, axes=(-2, -1))
+    flip_h = lambda a: jnp.flip(a, axis=-2)
+    if mode == 0:
+        return x
+    if mode == 1:
+        return flip_h(rot(1))
+    if mode == 2:
+        return flip_h(x)
+    if mode == 3:
+        return rot(3)
+    if mode == 4:
+        return flip_h(rot(2))
+    if mode == 5:
+        return rot(1)
+    if mode == 6:
+        return rot(2)
+    return flip_h(rot(3))
+
+
+def augment(x: jnp.ndarray, mode: jnp.ndarray) -> jnp.ndarray:
+    """Traced-mode dihedral augment via lax.switch (square images)."""
+    return jax.lax.switch(mode, [functools.partial(_augment, mode=m) for m in range(8)], x)
+
+
+INVERSE_MODE = np.array([0, 1, 2, 5, 4, 3, 6, 7], dtype=np.int32)
+"""Inverse transform index: i except 3<->5 (reference ``test_x8`` /
+``【3】:47-50`` uses ``8 - i`` for i in {3,5})."""
+
+
+def x8_cycling(denoise_core: Callable, i: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """Per-iteration cycling augmentation: transform by i%8, denoise,
+    inverse-transform (reference ``【3】:41,47-50`` — the DRUNet x8 path)."""
+    m = jnp.mod(i, 8).astype(jnp.int32)
+    out = denoise_core(augment(v, m))
+    return augment(out, jnp.asarray(INVERSE_MODE)[m])
+
+
+def x8_ensemble(denoise_core: Callable, v: jnp.ndarray) -> jnp.ndarray:
+    """Full 8-fold self-ensemble average (reference ``utils_model.test_x8``,
+    mode 3 of ``test_mode``)."""
+    outs = [
+        _augment(denoise_core(_augment(v, m)), int(INVERSE_MODE[m])) for m in range(8)
+    ]
+    return sum(outs) / 8.0
+
+
+# ---------------------------------------------------------------------------
+# Adapter construction
+# ---------------------------------------------------------------------------
+
+
+def _as_nhwc(v: jnp.ndarray):
+    """(..., H, W) -> (B, H, W, 1) plus a restore function."""
+    batch_shape = v.shape[:-2]
+    h, w = v.shape[-2:]
+    x = v.reshape((-1, h, w, 1))
+    return x, lambda y: y[..., 0].reshape(*batch_shape, h, w)
+
+
+def build_denoiser(
+    model_name: str,
+    weights: Optional[str] = None,
+    iter_num: int = 50,
+    noise_level_model: Optional[float] = None,
+    x8: Optional[bool] = None,
+    noises: Optional[np.ndarray] = None,
+    allow_random_init: bool = True,
+    param_dtype=jnp.float32,
+) -> Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray]:
+    """Build a jittable ``denoise(v, i)`` for a reference model name.
+
+    ``weights``: path to a KAIR ``.pth`` state-dict or a converted ``.npz``.
+    With no weights and ``allow_random_init``, random-initialized parameters
+    are used (functional pipeline; quality obviously not meaningful).
+    ``noises``: the complex k-space noise field (for fdncnn's map channel).
+    """
+    name = model_name.lower()
+
+    if "dncnn" in name and "fdncnn" not in name:
+        nb = 20 if name in ("dncnn_gray_blind", "dncnn_color_blind", "dncnn3") else 17
+        model = DnCNN(out_nc=1, nc=64, nb=nb)
+        params = _load_params(model, weights, convert.convert_dncnn, nb=nb,
+                              allow_random=allow_random_init, dtype=param_dtype)
+
+        def denoise(v, i):
+            x, restore = _as_nhwc(v)
+            return restore(model.apply(params, x))
+
+        return denoise
+
+    if "fdncnn" in name:
+        model = FDnCNN(out_nc=1, nc=64, nb=20)
+        params = _load_params(model, weights, convert.convert_fdncnn, nb=20,
+                              allow_random=allow_random_init, dtype=param_dtype,
+                              in_nc=2)
+        if noises is None:
+            from pnp_admm_cnc_mri_tpu.data import noise as noise_mod
+
+            noises = noise_mod.load_noise()
+        noise_map = jnp.asarray(np.abs(noises) / 255.0, param_dtype)
+
+        def denoise(v, i):
+            x, restore = _as_nhwc(v)
+            nm = jnp.broadcast_to(noise_map[None, :, :, None], x.shape)
+            return restore(model.apply(params, jnp.concatenate([x, nm], axis=-1)))
+
+        return denoise
+
+    if "ircnn" in name:
+        model = IRCNN(out_nc=1, nc=64)
+        nlm = 15.0 / 255.0 if noise_level_model is None else noise_level_model
+        _, sigmas = schedules.get_rho_sigma(
+            sigma=max(0.255 / 255.0, nlm), iter_num=iter_num,
+            model_sigma1=49.0, model_sigma2=nlm * 255.0,
+        )
+        idx = jnp.asarray(schedules.ircnn_sigma_indices(sigmas))
+        stacked = _load_ircnn_stack(model, weights, allow_random_init, param_dtype)
+
+        def denoise(v, i):
+            params_i = jax.tree.map(lambda a: a[idx[i]], stacked)
+            x, restore = _as_nhwc(v)
+            return restore(model.apply(params_i, x))
+
+        return denoise
+
+    if "ffdnet" in name:
+        model = FFDNet(out_nc=1, nc=64, nb=15)
+        nlm = 15.0 if noise_level_model is None else noise_level_model
+        params = _load_params(model, weights, convert.convert_ffdnet, nb=15,
+                              allow_random=allow_random_init, dtype=param_dtype,
+                              ffdnet=True)
+        sig = jnp.asarray(nlm / 255.0, param_dtype)
+
+        def denoise(v, i):
+            x, restore = _as_nhwc(v)
+            return restore(model.apply(params, x, sig))
+
+        return denoise
+
+    if "drunet" in name:
+        model = UNetRes(out_nc=1, nc=(64, 128, 256, 512), nb=4)
+        nlm = 15.0 / 255.0 if noise_level_model is None else noise_level_model
+        _, sigmas = schedules.get_rho_sigma(
+            sigma=max(0.255 / 255.0, nlm), iter_num=iter_num,
+            model_sigma1=49.0, model_sigma2=nlm * 255.0,
+        )
+        sigmas_d = jnp.asarray(sigmas, param_dtype)
+        params = _load_params(model, weights, convert.convert_drunet,
+                              allow_random=allow_random_init, dtype=param_dtype,
+                              in_nc=2)
+        use_x8 = bool(x8) if x8 is not None else False
+
+        def core(x, i):
+            sm = jnp.full_like(x, sigmas_d[i])
+            return model.apply(params, jnp.concatenate([x, sm], axis=-1))
+
+        def denoise(v, i):
+            x, restore = _as_nhwc(v)
+            if use_x8:
+                return restore(x8_cycling(lambda a: core(a, i), i, x))
+            return restore(core(x, i))
+
+        return denoise
+
+    raise ValueError(f"unknown denoiser model: {model_name}")
+
+
+def _load_params(model, weights, converter, allow_random=True, dtype=jnp.float32,
+                 in_nc=1, ffdnet=False, **kw):
+    if weights is not None:
+        if weights.endswith(".npz"):
+            return convert.load_npz(weights)
+        sd = convert.load_state_dict(weights)
+        return converter(sd, **kw) if kw else converter(sd)
+    if not allow_random:
+        raise FileNotFoundError(f"weights required for {model.__class__.__name__}")
+    rng = jax.random.PRNGKey(0)
+    dummy = jnp.zeros((1, 64, 64, in_nc), dtype)
+    if ffdnet:
+        return model.init(rng, dummy, jnp.asarray(0.1, dtype))
+    return model.init(rng, dummy)
+
+
+def _load_ircnn_stack(model, weights, allow_random, dtype):
+    if weights is not None:
+        if weights.endswith(".npz"):
+            return convert.load_npz(weights)
+        bundle = convert.load_state_dict(weights)
+        return convert.convert_ircnn_bundle(bundle)
+    if not allow_random:
+        raise FileNotFoundError("ircnn weights required")
+    rng = jax.random.PRNGKey(0)
+    dummy = jnp.zeros((1, 64, 64, 1), dtype)
+    one = model.init(rng, dummy)
+    return jax.tree.map(lambda a: jnp.stack([a] * 25), one)

@@ -1,0 +1,144 @@
+"""Denoiser parity: Flax reimplementations vs the reference torch models.
+
+The strongest oracle available without pretrained weights: instantiate the
+ACTUAL reference torch modules (imported read-only from /root/reference)
+with random weights, convert the state-dict with ``models.convert``, and
+require allclose outputs. This validates both the architecture transcription
+and the weight converter, which is exactly what matters once real KAIR
+checkpoints are supplied.
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+jnp = pytest.importorskip("jax.numpy")
+torch = pytest.importorskip("torch")
+
+REF = "/root/reference"
+if os.path.isdir(os.path.join(REF, "models")):
+    sys.path.insert(0, REF)
+
+ref_models = pytest.importorskip("models.network_dncnn")
+
+from pnp_admm_cnc_mri_tpu.models import convert  # noqa: E402
+from pnp_admm_cnc_mri_tpu.models.dncnn import DnCNN, FDnCNN, IRCNN  # noqa: E402
+from pnp_admm_cnc_mri_tpu.models.drunet import UNetRes  # noqa: E402
+from pnp_admm_cnc_mri_tpu.models.ffdnet import FFDNet  # noqa: E402
+
+TOL = dict(rtol=2e-4, atol=2e-5)
+
+
+def nchw_to_nhwc(x):
+    return jnp.asarray(x.detach().numpy().transpose(0, 2, 3, 1))
+
+
+def nhwc_to_nchw(y):
+    return np.asarray(y).transpose(0, 3, 1, 2)
+
+
+@torch.no_grad()
+def test_dncnn_parity():
+    tm = ref_models.DnCNN(in_nc=1, out_nc=1, nc=16, nb=6, act_mode="R").eval()
+    params = convert.convert_dncnn(tm.state_dict(), nb=6)
+    fm = DnCNN(out_nc=1, nc=16, nb=6)
+
+    x = torch.randn(2, 1, 24, 24)
+    want = tm(x).numpy()
+    got = nhwc_to_nchw(fm.apply(params, nchw_to_nhwc(x)))
+    np.testing.assert_allclose(got, want, **TOL)
+
+
+@torch.no_grad()
+def test_fdncnn_parity():
+    tm = ref_models.FDnCNN(in_nc=2, out_nc=1, nc=16, nb=5, act_mode="R").eval()
+    params = convert.convert_fdncnn(tm.state_dict(), nb=5)
+    fm = FDnCNN(out_nc=1, nc=16, nb=5)
+
+    x = torch.randn(1, 2, 20, 20)
+    want = tm(x).numpy()
+    got = nhwc_to_nchw(fm.apply(params, nchw_to_nhwc(x)))
+    np.testing.assert_allclose(got, want, **TOL)
+
+
+@torch.no_grad()
+def test_ircnn_parity():
+    tm = ref_models.IRCNN(in_nc=1, out_nc=1, nc=12).eval()
+    params = convert.convert_ircnn(tm.state_dict())
+    fm = IRCNN(out_nc=1, nc=12)
+
+    x = torch.randn(1, 1, 32, 32)
+    want = tm(x).numpy()
+    got = nhwc_to_nchw(fm.apply(params, nchw_to_nhwc(x)))
+    np.testing.assert_allclose(got, want, **TOL)
+
+
+@torch.no_grad()
+def test_ircnn_bundle_stacking():
+    bundles = {}
+    sds = []
+    for i in range(25):
+        m = ref_models.IRCNN(in_nc=1, out_nc=1, nc=4)
+        bundles[str(i)] = m.state_dict()
+        sds.append(m)
+    stacked = convert.convert_ircnn_bundle(bundles)
+    fm = IRCNN(out_nc=1, nc=4)
+    x = torch.randn(1, 1, 16, 16)
+    import jax
+
+    for idx in [0, 7, 24]:
+        params = jax.tree.map(lambda a: a[idx], stacked)
+        want = sds[idx].eval()(x).detach().numpy()
+        got = nhwc_to_nchw(fm.apply(params, nchw_to_nhwc(x)))
+        np.testing.assert_allclose(got, want, **TOL)
+
+
+@torch.no_grad()
+@pytest.mark.parametrize("hw", [(24, 24), (17, 19)])
+def test_ffdnet_parity(hw):
+    import models.network_ffdnet as ref_ffdnet
+
+    tm = ref_ffdnet.FFDNet(in_nc=1, out_nc=1, nc=12, nb=5, act_mode="R").eval()
+    params = convert.convert_ffdnet(tm.state_dict(), nb=5)
+    fm = FFDNet(out_nc=1, nc=12, nb=5)
+
+    x = torch.randn(2, 1, *hw)
+    sigma = torch.full((2, 1, 1, 1), 15.0 / 255.0)
+    want = tm(x, sigma).numpy()
+    got = nhwc_to_nchw(
+        fm.apply(params, nchw_to_nhwc(x), jnp.full((2, 1, 1, 1), 15.0 / 255.0))
+    )
+    np.testing.assert_allclose(got, want, **TOL)
+
+
+@torch.no_grad()
+def test_drunet_parity():
+    import models.network_unet as ref_unet
+
+    tm = ref_unet.UNetRes(
+        in_nc=2, out_nc=1, nc=[4, 8, 16, 32], nb=2, act_mode="R",
+        downsample_mode="strideconv", upsample_mode="convtranspose",
+    ).eval()
+    params = convert.convert_drunet(tm.state_dict(), nb=2)
+    fm = UNetRes(out_nc=1, nc=(4, 8, 16, 32), nb=2)
+
+    x = torch.randn(1, 2, 32, 32)
+    want = tm(x).numpy()
+    got = nhwc_to_nchw(fm.apply(params, nchw_to_nhwc(x)))
+    np.testing.assert_allclose(got, want, **TOL)
+
+
+@torch.no_grad()
+def test_npz_round_trip(tmp_path):
+    tm = ref_models.DnCNN(in_nc=1, out_nc=1, nc=8, nb=5, act_mode="R").eval()
+    params = convert.convert_dncnn(tm.state_dict(), nb=5)
+    p = str(tmp_path / "w.npz")
+    convert.save_npz(params, p)
+    loaded = convert.load_npz(p)
+    fm = DnCNN(out_nc=1, nc=8, nb=5)
+    x = torch.randn(1, 1, 16, 16)
+    a = fm.apply(params, nchw_to_nhwc(x))
+    b = fm.apply(loaded, nchw_to_nhwc(x))
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=0, atol=0)
