@@ -1,0 +1,434 @@
+"""TPU-native BM3D: block-matching + collaborative 3-D filtering in pure JAX.
+
+Re-design of the reference's native C libraries (``bm3d_thr.so`` /
+``bm3d_wie.so``, interface ``bm3d307/bm3d/bm3d_py.h:4-16``) as fixed-shape,
+jit-compilable tensor ops:
+
+- All 8x8 blocks are 2-D transformed ONCE as a batched 64x64 matmul (MXU).
+- Block matching is offset-parallel: for every search offset the SSD field
+  is a shifted squared difference box-filtered with a separable 8x8 ones
+  kernel, evaluated at the stride-3 reference grid; ``top_k`` picks the
+  best K candidates (fixed K; invalid border offsets are poisoned with a
+  large pad value).
+- The matched-count rule of the C code (largest power of two <= number of
+  candidates within tau_match, reference ``profiles.py:49,66``) is kept by
+  evaluating the five fixed stack sizes {1,2,4,8,16(,32)} and selecting
+  per group — static shapes, no data-dependent control flow.
+- Hard-threshold / Wiener shrinkage and the inverse 3-D transform are
+  batched einsums; aggregation is one scatter-add of Kaiser-weighted
+  patches.
+
+Parameters follow the reference profile 'np' (``profiles.py:44-67``) with
+the white-noise auto-parameters lambda=3.0, mu^2=0.4 (reference
+``__init__.py:868-869``; golden-tested in
+``bm3d307/tests/psd_resizing_and_parameters.py``).
+
+Known deviations from the C binaries (documented, PSNR-level impact):
+- bior1.5 basis rows differ by per-row phase and ~3%% norm on two subbands
+  (see ``transforms.py``); block-match candidate windows clamp at image
+  borders instead of shifting inside.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pnp_admm_cnc_mri_tpu.priors.bm3d import transforms as tr
+
+
+@dataclasses.dataclass(frozen=True)
+class BM3DProfile:
+    """Profile 'np' constants (reference ``bm3d307/bm3d/profiles.py:16-68``)."""
+
+    # HT stage
+    bs_ht: int = 8
+    step_ht: int = 3
+    max_3d_ht: int = 16
+    search_ht: int = 39
+    tau_match_ht: float = 3000.0
+    lambda_thr3d: float = 3.0  # white-noise auto value (__init__.py:868)
+    # Wiener stage
+    bs_wie: int = 8
+    step_wie: int = 3
+    max_3d_wie: int = 32
+    search_wie: int = 39
+    tau_match_wie: float = 400.0
+    mu2: float = 0.4  # white-noise auto value (__init__.py:869)
+    lambda_2d: float = 2.0  # coarse-prefilter threshold (classic BM3D)
+    tau_scale: float = 2.0  # d-distance scale calibrated against the C
+    # binaries (output agreement 40-51 dB across sigma 0.05-0.17; the C
+    # normalization of tau_match is not documented in the Python layer)
+    # Transforms / aggregation
+    transform_ht: str = "bior1.5"
+    transform_wie: str = "dct"
+    beta: float = 2.0
+
+
+DEFAULT_PROFILE = BM3DProfile()
+
+
+# ---------------------------------------------------------------------------
+# Static geometry helpers
+# ---------------------------------------------------------------------------
+
+
+def _ref_grid(n_pos: int, step: int) -> np.ndarray:
+    """Stride-``step`` reference positions, always including the last
+    (the C code forces the final row/column block)."""
+    g = list(range(0, n_pos, step))
+    if g[-1] != n_pos - 1:
+        g.append(n_pos - 1)
+    return np.asarray(g, dtype=np.int32)
+
+
+def _offsets(search: int, bs: int) -> np.ndarray:
+    """Candidate top-left offsets of the (search - bs + 1)^2 window."""
+    n = search - bs + 1  # 32 for the default profile
+    lo = -(n // 2 - 1)  # -15..16
+    return np.arange(lo, lo + n, dtype=np.int32)
+
+
+def _extract_blocks(img: jnp.ndarray, bs: int) -> jnp.ndarray:
+    """All overlapping bs x bs blocks -> (nH, nW, bs*bs), row-major pixels."""
+    h, w = img.shape
+    nh, nw = h - bs + 1, w - bs + 1
+    patches = []
+    for di in range(bs):
+        for dj in range(bs):
+            patches.append(jax.lax.dynamic_slice(img, (di, dj), (nh, nw)))
+    return jnp.stack(patches, axis=-1)
+
+
+def _box_filter(x: jnp.ndarray, bs: int) -> jnp.ndarray:
+    """Separable bs x bs 'valid' box sum over the trailing two axes."""
+    k1 = jnp.ones((bs,), x.dtype)
+    x = jax.vmap(lambda r: jnp.convolve(r, k1, mode="valid"), in_axes=0)(x)
+    x = jax.vmap(lambda c: jnp.convolve(c, k1, mode="valid"), in_axes=1, out_axes=1)(x)
+    return x
+
+
+def _block_distances(
+    match_img: jnp.ndarray, ref_pos: np.ndarray, offs: np.ndarray, bs: int
+) -> jnp.ndarray:
+    """SSD between each reference block and every offset candidate.
+
+    Returns (R, R, O*O) distances where R = len(ref_pos), O = len(offs).
+    Border-invalid candidates get a huge distance (pad poisoning).
+    """
+    h, w = match_img.shape
+    pad = int(max(-offs.min(), offs.max()))
+    big = jnp.asarray(1e4, match_img.dtype)
+    zp = jnp.pad(match_img, pad, constant_values=1e4)
+
+    rr = jnp.asarray(ref_pos)
+    n_off = offs.shape[0]
+    offs_j = jnp.asarray(offs)
+
+    def one_offset(o_flat):
+        oi = offs_j[o_flat // n_off]
+        oj = offs_j[o_flat % n_off]
+        shifted = jax.lax.dynamic_slice(zp, (pad + oi, pad + oj), (h, w))
+        d2 = (match_img - shifted) ** 2
+        d2 = jnp.minimum(d2, big)  # keep pad poison finite
+        field = _box_filter(d2, bs)  # (h-bs+1, w-bs+1)
+        return field[rr][:, rr]  # (R, R)
+
+    d = jax.lax.map(
+        one_offset, np.arange(n_off * n_off, dtype=np.int32), batch_size=64
+    )  # (O*O, R, R)
+    return jnp.moveaxis(d, 0, -1)
+
+
+def _coeff_distances(
+    coeffs: jnp.ndarray, ref_pos: np.ndarray, offs: np.ndarray
+) -> jnp.ndarray:
+    """SSD between (prefiltered) per-block coefficient vectors.
+
+    ``coeffs``: (nh, nw, C) per-block features. Used for the coarse
+    prefiltered d-distance the classic algorithm switches to at high noise
+    (sigma > 40/255): block matching on hard-thresholded 2-D transform
+    coefficients instead of raw pixels. Returns (R, R, O*O).
+    """
+    nh, nw, c = coeffs.shape
+    n_off = offs.shape[0]
+    offs_j = jnp.asarray(offs)
+    rr = jnp.asarray(ref_pos)
+    r = rr.shape[0]
+    flat = coeffs.reshape(-1, c)
+    ref_feats = coeffs[rr][:, rr]  # (R, R, C)
+
+    def one_offset(o_flat):
+        oi = offs_j[o_flat // n_off]
+        oj = offs_j[o_flat % n_off]
+        pi = rr[:, None] + oi
+        pj = rr[None, :] + oj
+        valid = (pi >= 0) & (pi < nh) & (pj >= 0) & (pj < nw)
+        pic = jnp.clip(pi, 0, nh - 1)
+        pjc = jnp.clip(pj, 0, nw - 1)
+        cand = flat[(pic * nw + pjc).reshape(-1)].reshape(r, r, c)
+        d = jnp.sum((ref_feats - cand) ** 2, axis=-1)
+        return jnp.where(valid, d, 1e10)
+
+    d = jax.lax.map(
+        one_offset, np.arange(n_off * n_off, dtype=np.int32), batch_size=64
+    )
+    return jnp.moveaxis(d, 0, -1)
+
+
+def _match(
+    match_img: jnp.ndarray,
+    ref_pos: np.ndarray,
+    offs: np.ndarray,
+    bs: int,
+    k_max: int,
+    tau: float,
+    match_coeffs: Optional[jnp.ndarray] = None,
+):
+    """Block matching: returns (positions (G, K, 2) int32, counts (G,)).
+
+    ``counts`` is the largest power of two <= #candidates with distance
+    below ``tau`` (C-code group-size rule), clipped to [1, k_max]. With
+    ``match_coeffs``, distances use the prefiltered coefficient vectors.
+    """
+    if match_coeffs is not None:
+        d = _coeff_distances(match_coeffs, ref_pos, offs)  # (R, R, O^2)
+    else:
+        d = _block_distances(match_img, ref_pos, offs, bs)  # (R, R, O^2)
+    r = d.shape[0]
+    d = d.reshape(r * r, -1)
+    neg_d, idx = jax.lax.top_k(-d, k_max)  # (G, K)
+    dk = -neg_d
+
+    counts = jnp.sum(dk <= tau, axis=-1)  # in [0 .. K]
+    counts = jnp.maximum(counts, 1)
+    pow2 = jnp.floor(jnp.log2(counts.astype(jnp.float32)))
+    counts = (2 ** pow2).astype(jnp.int32)
+
+    n_off = offs.shape[0]
+    oi = jnp.asarray(offs)[idx // n_off]  # (G, K)
+    oj = jnp.asarray(offs)[idx % n_off]
+    ri = jnp.repeat(jnp.asarray(ref_pos), r)[:, None]
+    rj = jnp.tile(jnp.asarray(ref_pos), r)[:, None]
+    pi = ri + oi
+    pj = rj + oj
+    return jnp.stack([pi, pj], axis=-1), counts
+
+
+def _group_coeffs(t2b: jnp.ndarray, pos: jnp.ndarray, nw: int) -> jnp.ndarray:
+    """Gather 2-D transformed blocks at matched positions -> (G, K, bs*bs)."""
+    flat = pos[..., 0] * nw + pos[..., 1]  # (G, K)
+    t2b_flat = t2b.reshape(-1, t2b.shape[-1])
+    return t2b_flat[flat]
+
+
+def _haar_bank(k_max: int):
+    fwd, inv = tr.stack_transforms(k_max, "haar")
+    sizes = sorted(fwd)
+    return sizes, [jnp.asarray(fwd[s], jnp.float32) for s in sizes], [
+        jnp.asarray(inv[s], jnp.float32) for s in sizes
+    ]
+
+
+# ---------------------------------------------------------------------------
+# Stages
+# ---------------------------------------------------------------------------
+
+
+def _aggregate(
+    img_shape, hat_blocks, weights, pos, window
+) -> jnp.ndarray:
+    """Kaiser-weighted scatter-add aggregation: returns num/den image.
+
+    hat_blocks: (G, K, bs*bs) spatial-domain filtered blocks
+    weights:    (G, K) per-block aggregation weights (0 for unused slots)
+    pos:        (G, K, 2) top-left positions
+    """
+    h, w = img_shape
+    g, k, bsq = hat_blocks.shape
+    bs = int(np.sqrt(bsq))
+    win = jnp.asarray(window.reshape(-1), hat_blocks.dtype)
+
+    di = np.repeat(np.arange(bs), bs).astype(np.int32)
+    dj = np.tile(np.arange(bs), bs).astype(np.int32)
+    pix = (pos[..., 0:1] + di[None, None]) * w + (pos[..., 1:2] + dj[None, None])
+    pix = pix.reshape(-1)
+
+    vals = (hat_blocks * win[None, None, :] * weights[..., None]).reshape(-1)
+    wvals = (jnp.broadcast_to(win[None, None, :], hat_blocks.shape) * weights[..., None]).reshape(-1)
+
+    num = jnp.zeros(h * w, hat_blocks.dtype).at[pix].add(vals)
+    den = jnp.zeros(h * w, hat_blocks.dtype).at[pix].add(wvals)
+    return (num / jnp.maximum(den, 1e-10)).reshape(h, w)
+
+
+def ht_stage(
+    z: jnp.ndarray,
+    sigma,
+    profile: BM3DProfile = DEFAULT_PROFILE,
+    prefilter: Optional[bool] = None,
+) -> jnp.ndarray:
+    """Hard-thresholding (basic-estimate) stage."""
+    p = profile
+    h, w = z.shape
+    bs = p.bs_ht
+    nh, nw = h - bs + 1, w - bs + 1
+
+    t2f, t2i = tr.transform_pair(bs, p.transform_ht)
+    k2f = jnp.asarray(np.kron(t2f, t2f), z.dtype)
+    k2i = jnp.asarray(np.kron(t2i, t2i), z.dtype)
+
+    blocks = _extract_blocks(z, bs)  # (nh, nw, 64)
+    t2b = blocks @ k2f.T
+
+    ref_i = _ref_grid(nh, p.step_ht)
+    offs = _offsets(p.search_ht, bs)
+    tau = p.tau_match_ht * p.tau_scale * (bs * bs) / (255.0**2)
+    # Coarse prefiltering for high noise (classic BM3D: sigma > 40/255):
+    # match on hard-thresholded 2-D transform coefficients. The decision is
+    # static (trace-time); with a traced sigma pass ``prefilter`` explicitly.
+    if prefilter is None:
+        try:
+            prefilter = float(np.asarray(sigma)) > 40.0 / 255.0
+        except (TypeError, jax.errors.TracerArrayConversionError):
+            prefilter = False
+    match_coeffs = None
+    if prefilter:
+        match_coeffs = jnp.where(jnp.abs(t2b) > p.lambda_2d * sigma, t2b, 0.0)
+    pos, counts = _match(z, ref_i, offs, bs, p.max_3d_ht, tau, match_coeffs)
+
+    groups = _group_coeffs(t2b, pos, nw)  # (G, K, 64)
+    thr = p.lambda_thr3d * sigma
+
+    sizes, haar_f, haar_i = _haar_bank(p.max_3d_ht)
+    g = groups.shape[0]
+    hat = jnp.zeros_like(groups)
+    wts = jnp.zeros((g, p.max_3d_ht), groups.dtype)
+    for s, hf, hi in zip(sizes, haar_f, haar_i):
+        c3 = jnp.einsum("st,gtc->gsc", hf, groups[:, :s, :])
+        keep = jnp.abs(c3) > thr
+        c3 = jnp.where(keep, c3, 0.0)
+        nnz = jnp.sum(keep, axis=(1, 2)).astype(groups.dtype)
+        w_g = 1.0 / (sigma**2 * jnp.maximum(nnz, 1.0))
+        blocks_s = jnp.einsum("ts,gsc->gtc", hi, c3)  # (G, s, 64)
+        pad_k = p.max_3d_ht - s
+        blocks_s = jnp.pad(blocks_s, ((0, 0), (0, pad_k), (0, 0)))
+        sel = (counts == s)[:, None, None]
+        hat = jnp.where(sel, blocks_s, hat)
+        w_b = jnp.pad(
+            jnp.broadcast_to(w_g[:, None], (g, s)), ((0, 0), (0, pad_k))
+        )
+        wts = jnp.where(sel[:, :, 0], w_b, wts)
+
+    hat_spatial = hat @ k2i.T
+    window = tr.kaiser_window(bs, p.beta)
+    return _aggregate((h, w), hat_spatial, wts, pos, window)
+
+
+def wiener_stage(
+    z: jnp.ndarray,
+    pilot: jnp.ndarray,
+    sigma,
+    profile: BM3DProfile = DEFAULT_PROFILE,
+) -> jnp.ndarray:
+    """Wiener (final-estimate) stage using the HT output as pilot."""
+    p = profile
+    h, w = z.shape
+    bs = p.bs_wie
+    nh, nw = h - bs + 1, w - bs + 1
+
+    t2f, t2i = tr.transform_pair(bs, p.transform_wie)
+    k2f = jnp.asarray(np.kron(t2f, t2f), z.dtype)
+    k2i = jnp.asarray(np.kron(t2i, t2i), z.dtype)
+
+    t2b_z = _extract_blocks(z, bs) @ k2f.T
+    t2b_p = _extract_blocks(pilot, bs) @ k2f.T
+
+    ref_i = _ref_grid(nh, p.step_wie)
+    offs = _offsets(p.search_wie, bs)
+    tau = p.tau_match_wie * p.tau_scale * (bs * bs) / (255.0**2)
+    pos, counts = _match(pilot, ref_i, offs, bs, p.max_3d_wie, tau)
+
+    gz = _group_coeffs(t2b_z, pos, nw)
+    gp = _group_coeffs(t2b_p, pos, nw)
+
+    # Full-PSD convention: the reference multiplies the PSD (variance) by
+    # mu2 before the Wiener call (``__init__.py:293-299``), so
+    # sigma_w^2 = mu2 * sigma^2. End-to-end PnP-ADMM-L1-BM3D calibration vs
+    # a fresh reference run: 25.055 dB vs 25.156 dB reference (0.1 dB).
+    # (The C scalar-sigma entry path behaves closer to sigma^2*sqrt(mu2);
+    # we standardize on the full-PSD pipeline convention.)
+    sigma_w = sigma * jnp.sqrt(p.mu2)
+    sizes, haar_f, haar_i = _haar_bank(p.max_3d_wie)
+    g = gz.shape[0]
+    hat = jnp.zeros_like(gz)
+    wts = jnp.zeros((g, p.max_3d_wie), gz.dtype)
+    for s, hf, hi in zip(sizes, haar_f, haar_i):
+        cz = jnp.einsum("st,gtc->gsc", hf, gz[:, :s, :])
+        cp = jnp.einsum("st,gtc->gsc", hf, gp[:, :s, :])
+        wien = cp**2 / (cp**2 + sigma_w**2)
+        cz = cz * wien
+        w_g = 1.0 / (sigma_w**2 * jnp.maximum(jnp.sum(wien**2, axis=(1, 2)), 1e-10))
+        blocks_s = jnp.einsum("ts,gsc->gtc", hi, cz)
+        pad_k = p.max_3d_wie - s
+        blocks_s = jnp.pad(blocks_s, ((0, 0), (0, pad_k), (0, 0)))
+        sel = (counts == s)[:, None, None]
+        hat = jnp.where(sel, blocks_s, hat)
+        w_b = jnp.pad(jnp.broadcast_to(w_g[:, None], (g, s)), ((0, 0), (0, pad_k)))
+        wts = jnp.where(sel[:, :, 0], w_b, wts)
+
+    hat_spatial = hat @ k2i.T
+    window = tr.kaiser_window(bs, p.beta)
+    return _aggregate((h, w), hat_spatial, wts, pos, window)
+
+
+def _static_prefilter(sigma) -> Optional[bool]:
+    try:
+        return bool(float(np.asarray(sigma)) > 40.0 / 255.0)
+    except Exception:
+        return None
+
+
+@functools.partial(jax.jit, static_argnames=("profile", "stages", "prefilter"))
+def _bm3d_jit(z, sigma, profile, stages, prefilter):
+    sigma = jnp.asarray(sigma, z.dtype)
+    yb = ht_stage(z, sigma, profile, prefilter=bool(prefilter))
+    if stages == "ht":
+        return yb
+    return wiener_stage(z, yb, sigma, profile)
+
+
+def bm3d(
+    z: jnp.ndarray,
+    sigma,
+    profile: BM3DProfile = DEFAULT_PROFILE,
+    stages: str = "all",
+    prefilter: Optional[bool] = None,
+) -> jnp.ndarray:
+    """Two-stage BM3D for white noise of std ``sigma`` ([0,1] scale).
+
+    ``stages``: 'all' (HT then Wiener, the reference default), 'ht' only.
+    ``prefilter`` selects coarse prefiltered block matching; by default it
+    is decided from ``sigma`` at call time (> 40/255, the classic rule) —
+    pass it explicitly when ``sigma`` is a traced value.
+    Matches the reference entry ``bm3d(z, sigma_psd)`` with
+    ``sigma = sqrt(psd / (H*W))`` for the white-noise PSDs the MRI
+    pipelines use (reference ``utils/experiment_funcs.py:125``).
+    """
+    if prefilter is None:
+        prefilter = _static_prefilter(sigma)
+        if prefilter is None:
+            prefilter = False
+    return _bm3d_jit(z, sigma, profile, stages, bool(prefilter))
+
+
+def bm3d_from_psd(z: jnp.ndarray, psd, profile=DEFAULT_PROFILE, prefilter=None):
+    """Reference-compatible entry taking a (white) PSD array."""
+    h, w = z.shape[-2:]
+    sigma = np.sqrt(float(np.mean(np.asarray(psd))) / (h * w))
+    return bm3d(z, sigma, profile, prefilter=prefilter)

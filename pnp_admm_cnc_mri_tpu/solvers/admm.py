@@ -58,13 +58,21 @@ def admm_step(
     rho,
     z_update: ZUpdate,
     clamp: bool = False,
+    tail=None,
 ) -> ADMMState:
     """One ADMM iteration; ``clamp`` reproduces the CNN-variant [0,1] clamp
-    of x, z and the dual w (reference ``【3】PNP_ADMM_L1_D  .py:294-296``)."""
+    of x, z and the dual w (reference ``【3】PNP_ADMM_L1_D  .py:294-296``).
+
+    ``tail(i, x, z, w) -> (z_new, w_new)`` optionally replaces the separate
+    z-update + dual ascent with a fused implementation (Pallas kernel for
+    the classical priors, ``ops/pallas_kernels.py``)."""
     x = fourier.data_consistency(state.z - state.w, y, mask, rho)
     x = x.astype(state.z.dtype)
-    z = z_update(i, x, state.z, state.w)
-    w = state.w + x - z
+    if tail is not None:
+        z, w = tail(i, x, state.z, state.w)
+    else:
+        z = z_update(i, x, state.z, state.w)
+        w = state.w + x - z
     if clamp:
         x, z, w = prox.clip01(x), prox.clip01(z), prox.clip01(w)
     return ADMMState(x=x, z=z, w=w)
@@ -79,6 +87,7 @@ def run_admm(
     clamp: bool = False,
     dtype=jnp.float32,
     collect_residuals: bool = False,
+    tail=None,
 ):
     """Run ``iter_num`` fixed iterations as one ``lax.scan``.
 
@@ -90,7 +99,7 @@ def run_admm(
     state = init_state(y, dtype)
 
     def step(state, i):
-        new = admm_step(state, i, y, mask, rho, z_update, clamp)
+        new = admm_step(state, i, y, mask, rho, z_update, clamp, tail=tail)
         out = None
         if collect_residuals:
             out = jnp.sqrt(jnp.sum((new.x - new.z) ** 2, axis=(-2, -1)))
@@ -145,18 +154,26 @@ def run_admm_tol(
 # ---------------------------------------------------------------------------
 
 
-def admm_l1(y, mask, cfg: ADMMConfig, dtype=jnp.float32, **kw):
-    """ADMM-L1 (reference ``【1】ADMM_L1.py``): z = soft(x+w, rho*lam)."""
+def admm_l1(y, mask, cfg: ADMMConfig, dtype=jnp.float32, fused: bool = True, **kw):
+    """ADMM-L1 (reference ``【1】ADMM_L1.py``): z = soft(x+w, rho*lam).
+
+    ``fused=True`` runs the z/w tail as one Pallas kernel on TPU (identical
+    math; falls back to jnp elsewhere)."""
 
     def z_update(i, x, z, w):
         return prox.soft(x + w, cfg.rho * cfg.lam)
 
     if cfg.tol is not None:
         return run_admm_tol(y, mask, cfg.iter_num, cfg.rho, z_update, cfg.tol, dtype=dtype)
-    return run_admm(y, mask, cfg.iter_num, cfg.rho, z_update, dtype=dtype, **kw)
+    tail = None
+    if fused:
+        from pnp_admm_cnc_mri_tpu.ops import pallas_kernels
+
+        tail = lambda i, x, z, w: pallas_kernels.l1_tail(x, z, w, cfg.rho * cfg.lam)
+    return run_admm(y, mask, cfg.iter_num, cfg.rho, z_update, dtype=dtype, tail=tail, **kw)
 
 
-def admm_cnc(y, mask, cfg: ADMMConfig, dtype=jnp.float32, **kw):
+def admm_cnc(y, mask, cfg: ADMMConfig, dtype=jnp.float32, fused: bool = True, **kw):
     """ADMM-CNC (reference ``【4】ADMM_CNC .py``): GMC firm-threshold z-update."""
 
     def z_update(i, x, z, w):
@@ -164,7 +181,14 @@ def admm_cnc(y, mask, cfg: ADMMConfig, dtype=jnp.float32, **kw):
 
     if cfg.tol is not None:
         return run_admm_tol(y, mask, cfg.iter_num, cfg.rho, z_update, cfg.tol, dtype=dtype)
-    return run_admm(y, mask, cfg.iter_num, cfg.rho, z_update, dtype=dtype, **kw)
+    tail = None
+    if fused:
+        from pnp_admm_cnc_mri_tpu.ops import pallas_kernels
+
+        tail = lambda i, x, z, w: pallas_kernels.cnc_tail(
+            x, z, w, cfg.alpha, cfg.rho, cfg.lam, cfg.b
+        )
+    return run_admm(y, mask, cfg.iter_num, cfg.rho, z_update, dtype=dtype, tail=tail, **kw)
 
 
 def pnp_admm_l1(

@@ -1,0 +1,215 @@
+"""TPU-native BM3D: transform validity, denoising quality, oracle parity."""
+
+import ctypes
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from pnp_admm_cnc_mri_tpu.priors.bm3d import core, transforms as tr
+
+REF = "/root/reference"
+
+
+def _install_pywt_stub():
+    if "pywt" not in sys.modules:
+        stub = types.ModuleType("pywt")
+
+        def wavedec(data, wavelet, mode="periodization", level=None):
+            assert mode == "periodization"
+            return tr.wavedec_vector(np.asarray(data), wavelet, level)
+
+        stub.wavedec = wavedec
+        sys.modules["pywt"] = stub
+
+
+def _preload_oracle_libs() -> bool:
+    """dlopen the C BM3D dependency chain so the reference .so resolves."""
+    cv_libs = "/opt/venv/lib/python3.12/site-packages/opencv_python.libs"
+    try:
+        for name in sorted(os.listdir(cv_libs)):
+            if "gfortran" in name or "quadmath" in name:
+                ctypes.CDLL(os.path.join(cv_libs, name), mode=ctypes.RTLD_GLOBAL)
+        for name in sorted(os.listdir(cv_libs)):
+            if "openblas" in name:
+                ctypes.CDLL(os.path.join(cv_libs, name), mode=ctypes.RTLD_GLOBAL)
+        return True
+    except OSError:
+        return False
+
+
+class TestTransforms:
+    def test_bior_matches_reference_norms_and_reconstructs(self):
+        f, i = tr.transform_pair(8, "bior1.5")
+        np.testing.assert_allclose(i @ f, np.eye(8), atol=1e-12)
+        # The reference's hardcoded MATLAB matrix has row norms
+        # [0.9717, 1.0275, 1, 1, 1, 1, 1, 1]; ours matches the same subband
+        # structure with unit-norm finest rows (documented phase deviation).
+        norms = np.sqrt((f**2).sum(axis=1))
+        np.testing.assert_allclose(norms[4:], 1.0, atol=1e-12)
+
+    @pytest.mark.skipif(not os.path.isdir(REF), reason="no reference")
+    def test_bior_row_correspondence_with_reference(self):
+        """Every reference basis row must be a scaled circular shift of one
+        of ours (same subbands, different per-level phase convention)."""
+        _install_pywt_stub()
+        sys.path.insert(0, REF)
+        from bm3d307.bm3d import _get_transf_matrix
+
+        ref = np.asarray(_get_transf_matrix(8, "bior1.5", 0, False)[0], float)
+        mine = tr.wavelet_matrix(8, "bior1.5")
+        for i in range(8):
+            found = False
+            for j in range(8):
+                for shift in range(8):
+                    ms = np.roll(mine[j], shift)
+                    s = (ref[i] * ms).sum() / (ms * ms).sum()
+                    if np.abs(ref[i] - s * ms).max() < 1e-9:
+                        found = True
+            assert found, f"reference row {i} not in our basis"
+
+    def test_haar_orthonormal(self):
+        for n in (2, 4, 8, 16, 32):
+            f, i = tr.transform_pair(n, "haar")
+            np.testing.assert_allclose(f @ f.T, np.eye(n), atol=1e-12)
+            np.testing.assert_allclose(i, f.T, atol=1e-12)
+
+    def test_dct_matches_scipy(self):
+        from scipy.fft import dct
+
+        np.testing.assert_allclose(
+            tr.dct_matrix(8), dct(np.eye(8), norm="ortho").T, atol=1e-12
+        )
+
+    def test_kaiser(self):
+        w = tr.kaiser_window(8, 2.0)
+        assert w.shape == (8, 8)
+        np.testing.assert_allclose(w, w.T)
+
+
+class TestBM3D:
+    def test_denoising_quality_synthetic(self, rng):
+        xx, yy = np.meshgrid(np.arange(64), np.arange(64))
+        x = 0.5 + 0.3 * np.sin(xx / 8.0) * np.cos(yy / 11.0)
+        sigma = 0.1
+        z = x + sigma * rng.standard_normal((64, 64))
+
+        y = np.asarray(core.bm3d(jnp.asarray(z, jnp.float32), sigma))
+
+        def psnr(a, b):
+            return 10 * np.log10(1.0 / np.mean((a - b) ** 2))
+
+        assert psnr(y, x) > psnr(z, x) + 9.0  # strong denoising
+        assert psnr(y, x) > 31.0
+
+    def test_ht_only_stage(self, rng):
+        x = 0.5 * np.ones((48, 48))
+        z = x + 0.08 * rng.standard_normal((48, 48))
+        y = np.asarray(core.bm3d(jnp.asarray(z, jnp.float32), 0.08, stages="ht"))
+        assert np.abs(y - 0.5).mean() < np.abs(z - 0.5).mean() / 3
+
+    def test_determinism(self, rng):
+        z = rng.random((48, 48)).astype(np.float32)
+        a = np.asarray(core.bm3d(jnp.asarray(z), 0.1))
+        b = np.asarray(core.bm3d(jnp.asarray(z), 0.1))
+        np.testing.assert_array_equal(a, b)
+
+    def test_batched_prior(self, rng):
+        from pnp_admm_cnc_mri_tpu.priors import bm3d_prior
+
+        den = bm3d_prior.make_bm3d_denoiser(noise_var=0.01)
+        v = jnp.asarray(rng.random((2, 48, 48)).astype(np.float32))
+        out = den(v, 0)
+        assert out.shape == v.shape
+        single = den(v[0], 0)
+        np.testing.assert_allclose(np.asarray(out[0]), np.asarray(single), atol=1e-6)
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(not os.path.isdir(REF), reason="no reference")
+class TestOracleParity:
+    """Direct agreement with the reference C binaries (bm3d_thr/wie.so)."""
+
+    def test_against_c_binaries(self, rng, tmp_path_factory):
+        # The reference package needs environment fixes to run here
+        # (np.float removal, scipy.signal.gaussian move, find_library not
+        # seeing wheel-bundled BLAS, missing pywt); patch a scratch copy
+        # and run it in a subprocess where LD_LIBRARY_PATH can still take
+        # effect (the dynamic linker reads it only at process start).
+        import re
+        import shutil
+        import subprocess
+
+        scratch = tmp_path_factory.getbasetemp() / "bm3d_oracle"
+        if not (scratch / "bm3d307").is_dir():
+            scratch.mkdir(parents=True, exist_ok=True)
+            shutil.copytree(os.path.join(REF, "bm3d307"), scratch / "bm3d307")
+            for py in (scratch / "bm3d307" / "bm3d").glob("*.py"):
+                src = py.read_text()
+                src = re.sub(r"np\.float\(", "float(", src)
+                src = re.sub(r"np\.int\(", "int(", src)
+                src = src.replace(
+                    'if platform == "linux" and find_library("openblas") is None:',
+                    "if False:",
+                )
+                src = src.replace(
+                    "signal.gaussian(", "signal.windows.gaussian("
+                )
+                py.write_text(src)
+            (scratch / "pywt.py").write_text(
+                "import sys\n"
+                "sys.path.insert(0, '/root/repo')\n"
+                "from pnp_admm_cnc_mri_tpu.priors.bm3d.transforms import wavedec_vector\n"
+                "def wavedec(data, wavelet, mode='periodization', level=None):\n"
+                "    return wavedec_vector(data, wavelet, level)\n"
+            )
+            libdir = scratch / "libs"
+            libdir.mkdir(exist_ok=True)
+            cv = "/opt/venv/lib/python3.12/site-packages/opencv_python.libs"
+            for name in os.listdir(cv):
+                if "openblas" in name:
+                    (libdir / "libopenblas.so.0").symlink_to(os.path.join(cv, name))
+
+        from pnp_admm_cnc_mri_tpu.data import images
+
+        img = images.imread_gray(os.path.join(REF, "testsets/set1/05.png"))
+        x = img.astype(np.float64)[:128, :128] / 255.0
+        sigma = float(np.sqrt(0.03))
+        z = x + sigma * rng.standard_normal(x.shape)
+        np.save(scratch / "z.npy", z)
+
+        driver = (
+            "import sys, numpy as np\n"
+            f"sys.path.insert(0, {str(scratch)!r})\n"
+            "from bm3d307.bm3d import bm3d\n"
+            f"z = np.load({str(scratch / 'z.npy')!r})\n"
+            f"np.save({str(scratch / 'yo.npy')!r}, bm3d(z, {sigma!r}))\n"
+        )
+        env = dict(os.environ)
+        env["LD_LIBRARY_PATH"] = ":".join(
+            [
+                str(scratch / "libs"),
+                "/opt/venv/lib/python3.12/site-packages/opencv_python.libs",
+                env.get("LD_LIBRARY_PATH", ""),
+            ]
+        )
+        env.pop("JAX_PLATFORMS", None)
+        proc = subprocess.run(
+            [sys.executable, "-c", driver], env=env, capture_output=True, text=True,
+            timeout=300,
+        )
+        if proc.returncode != 0:
+            pytest.skip(f"C oracle failed to run: {proc.stderr[-400:]}")
+        yo = np.load(scratch / "yo.npy")
+        y = np.asarray(core.bm3d(jnp.asarray(z, jnp.float32), sigma))
+
+        def psnr(a, b):
+            return 10 * np.log10(1.0 / np.mean((np.asarray(a) - np.asarray(b)) ** 2))
+
+        # quality within 0.3 dB of the C implementation, strong agreement
+        assert psnr(y, x) > psnr(yo, x) - 0.3, (psnr(y, x), psnr(yo, x))
+        assert psnr(y, yo) > 30.0, psnr(y, yo)
