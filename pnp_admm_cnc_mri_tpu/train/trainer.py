@@ -1,0 +1,171 @@
+"""Denoiser training on TPU: jitted optax steps over a sharded mesh.
+
+New capability (the reference ships no training, SURVEY.md §5
+checkpoint/resume): train the Gaussian denoisers used as PnP priors.
+
+Parallelism layout (idiomatic JAX, no reference counterpart):
+- data parallelism: batch axis sharded over the mesh ``data`` axis;
+  gradients are averaged by XLA-inserted collectives (GSPMD) because the
+  loss is a mean over the global batch;
+- optional tensor parallelism: conv channel dimensions of the network body
+  sharded over the ``space`` axis via parameter PartitionSpecs — GSPMD
+  inserts the all-gathers/reduce-scatters;
+- checkpoint/resume via orbax (or plain npz through ``models.convert``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    learning_rate: float = 1e-4
+    weight_decay: float = 0.0
+    loss: str = "l2"  # 'l2' (DnCNN-style) or 'l1' (FDnCNN-style)
+    grad_clip: Optional[float] = 1.0
+
+
+def make_loss_fn(model_apply: Callable, loss: str = "l2", conditioned: bool = False):
+    """Loss over a (noisy, clean, sigma_map) batch.
+
+    ``conditioned``: the model takes a noise-map channel (FDnCNN/DRUNet) —
+    the sigma map is concatenated; FFDNet-style models that take sigma as a
+    separate argument wrap their apply accordingly before passing it here.
+    """
+
+    def loss_fn(params, noisy, clean, sigma):
+        if conditioned:
+            sm = jnp.broadcast_to(sigma, noisy.shape)
+            inp = jnp.concatenate([noisy, sm], axis=-1)
+            pred = model_apply(params, inp)
+        else:
+            pred = model_apply(params, noisy)
+        err = pred - clean
+        if loss == "l1":
+            return jnp.mean(jnp.abs(err))
+        return 0.5 * jnp.mean(err**2)
+
+    return loss_fn
+
+
+def make_train_step(loss_fn: Callable, optimizer) -> Callable:
+    """Build the jittable (params, opt_state, batch) -> (params, opt_state,
+    loss) step. Sharding comes from the argument placements (GSPMD)."""
+
+    @jax.jit
+    def train_step(params, opt_state, noisy, clean, sigma):
+        loss, grads = jax.value_and_grad(loss_fn)(params, noisy, clean, sigma)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return train_step
+
+
+def make_optimizer(cfg: TrainConfig):
+    tx = []
+    if cfg.grad_clip:
+        tx.append(optax.clip_by_global_norm(cfg.grad_clip))
+    if cfg.weight_decay:
+        tx.append(optax.adamw(cfg.learning_rate, weight_decay=cfg.weight_decay))
+    else:
+        tx.append(optax.adam(cfg.learning_rate))
+    return optax.chain(*tx)
+
+
+def shard_params_tp(params, mesh: Mesh, axis: str = "space"):
+    """Tensor-parallel placement: shard conv kernels on the output-channel
+    dim (HWIO -> axis 3) and biases on their only dim when divisible by the
+    mesh axis; everything else replicated. GSPMD handles the collectives.
+    """
+    n = mesh.shape[axis]
+
+    def place(x):
+        if hasattr(x, "ndim") and x.ndim == 4 and x.shape[3] % n == 0 and x.shape[3] >= n:
+            return NamedSharding(mesh, P(None, None, None, axis))
+        if hasattr(x, "ndim") and x.ndim == 1 and x.shape[0] % n == 0 and x.shape[0] >= n:
+            return NamedSharding(mesh, P(axis))
+        return NamedSharding(mesh, P())
+
+    return jax.tree.map(lambda x: jax.device_put(x, place(x)), params)
+
+
+def shard_batch_dp(batch: Tuple, mesh: Mesh, axis: str = "data"):
+    """Data-parallel placement of (noisy, clean, sigma) on the batch dim."""
+    return tuple(
+        jax.device_put(jnp.asarray(x), NamedSharding(mesh, P(axis))) for x in batch
+    )
+
+
+def train_denoiser(
+    model,
+    patches: np.ndarray,
+    sigma,
+    steps: int = 1000,
+    batch_size: int = 64,
+    cfg: TrainConfig = TrainConfig(),
+    mesh: Optional[Mesh] = None,
+    conditioned: bool = False,
+    seed: int = 0,
+    log_every: int = 100,
+    params: Any = None,
+    ffdnet_style: bool = False,
+):
+    """Train a Flax denoiser; returns (params, losses).
+
+    With a ``mesh``, batches are dp-sharded over ``data`` and parameters
+    tp-sharded over ``space`` (where divisible).
+    """
+    from pnp_admm_cnc_mri_tpu.train import data as data_mod
+
+    rng = jax.random.PRNGKey(seed)
+    in_nc = 2 if conditioned else 1
+    if params is None:
+        dummy = jnp.zeros((1, patches.shape[1], patches.shape[2], in_nc), jnp.float32)
+        if ffdnet_style:
+            params = model.init(rng, dummy[..., :1], jnp.asarray(0.1))
+        else:
+            params = model.init(rng, dummy)
+
+    optimizer = make_optimizer(cfg)
+    opt_state = optimizer.init(params)
+
+    if ffdnet_style:
+        apply = lambda p, noisy_and_sigma: None  # unused; custom loss below
+
+        def loss_fn(params, noisy, clean, sigma):
+            pred = model.apply(params, noisy, sigma[:, 0, 0, 0])
+            return 0.5 * jnp.mean((pred - clean) ** 2)
+
+    else:
+        loss_fn = make_loss_fn(model.apply, cfg.loss, conditioned)
+    step_fn = make_train_step(loss_fn, optimizer)
+
+    if mesh is not None:
+        params = shard_params_tp(params, mesh)
+        opt_state = jax.tree.map(
+            lambda x: jax.device_put(x, NamedSharding(mesh, P())) if hasattr(x, "ndim") else x,
+            opt_state,
+        )
+
+    losses = []
+    it = data_mod.batches(patches, batch_size, sigma, seed=seed)
+    for i, batch in enumerate(it):
+        if i >= steps:
+            break
+        if mesh is not None:
+            batch = shard_batch_dp(batch, mesh)
+        else:
+            batch = tuple(jnp.asarray(x) for x in batch)
+        params, opt_state, loss = step_fn(params, opt_state, *batch)
+        if i % log_every == 0 or i == steps - 1:
+            losses.append((i, float(loss)))
+    return params, losses

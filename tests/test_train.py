@@ -1,0 +1,115 @@
+"""Denoiser training: loss decrease, sharded step equivalence, npz round trip."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pnp_admm_cnc_mri_tpu.models.dncnn import DnCNN, FDnCNN
+from pnp_admm_cnc_mri_tpu.train import data as data_mod, trainer
+
+
+@pytest.fixture(scope="module")
+def patches(rng=None):
+    r = np.random.default_rng(7)
+    imgs = [r.random((64, 64)) for _ in range(4)]
+    # smooth them so there's structure to learn
+    from scipy.ndimage import gaussian_filter
+
+    imgs = [gaussian_filter(im, 3.0) for im in imgs]
+    return data_mod.extract_patches(imgs, patch=16, stride=16)
+
+
+class TestData:
+    def test_patches_shape(self, patches):
+        assert patches.shape[1:] == (16, 16)
+        assert patches.dtype == np.float32
+
+    def test_batches_deterministic(self, patches):
+        a = next(data_mod.batches(patches, 8, 0.1, seed=3))
+        b = next(data_mod.batches(patches, 8, 0.1, seed=3))
+        np.testing.assert_array_equal(a[0], b[0])
+
+    def test_sigma_range_sampling(self, patches):
+        noisy, clean, sig = next(data_mod.batches(patches, 8, (0.01, 0.3), seed=0))
+        assert sig.min() >= 0.01 and sig.max() <= 0.3
+        assert noisy.shape == (8, 16, 16, 1)
+
+
+class TestTraining:
+    def test_loss_decreases_dncnn(self, patches):
+        model = DnCNN(out_nc=1, nc=8, nb=4)
+        params, losses = trainer.train_denoiser(
+            model, patches, 0.1, steps=60, batch_size=16, log_every=10,
+            cfg=trainer.TrainConfig(learning_rate=1e-3),
+        )
+        first = losses[0][1]
+        last = losses[-1][1]
+        assert last < first * 0.8, losses
+
+    def test_conditioned_fdncnn_step(self, patches):
+        model = FDnCNN(out_nc=1, nc=8, nb=4)
+        params, losses = trainer.train_denoiser(
+            model, patches, (0.05, 0.2), steps=10, batch_size=8,
+            conditioned=True, log_every=5,
+        )
+        assert np.isfinite(losses[-1][1])
+
+    def test_sharded_step_matches_unsharded(self, patches):
+        from pnp_admm_cnc_mri_tpu.parallel import mesh as mesh_lib
+
+        if len(jax.devices()) < 4:
+            pytest.skip("needs 4 virtual devices")
+        mesh = mesh_lib.make_mesh(n_data=2, n_space=2, devices=jax.devices()[:4])
+
+        model = DnCNN(out_nc=1, nc=8, nb=4)
+        params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 1)))
+        optimizer = trainer.make_optimizer(trainer.TrainConfig(learning_rate=1e-3))
+        loss_fn = trainer.make_loss_fn(model.apply, "l2")
+        step = trainer.make_train_step(loss_fn, optimizer)
+
+        rng = np.random.default_rng(0)
+        noisy = rng.standard_normal((8, 16, 16, 1)).astype(np.float32)
+        clean = rng.standard_normal((8, 16, 16, 1)).astype(np.float32)
+        sig = np.full((8, 1, 1, 1), 0.1, np.float32)
+
+        # unsharded
+        p1, o1 = params, optimizer.init(params)
+        p1, o1, l1 = step(p1, o1, jnp.asarray(noisy), jnp.asarray(clean), jnp.asarray(sig))
+
+        # dp x tp sharded
+        p2 = trainer.shard_params_tp(params, mesh)
+        o2 = optimizer.init(p2)
+        batch = trainer.shard_batch_dp((noisy, clean, sig), mesh)
+        p2, o2, l2 = step(p2, o2, *batch)
+
+        np.testing.assert_allclose(float(l1), float(l2), rtol=1e-5)
+        flat1 = jax.tree.leaves(p1)
+        flat2 = jax.tree.leaves(p2)
+        for a, b in zip(flat1, flat2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
+
+    def test_trained_weights_usable_in_pnp(self, patches, tmp_path):
+        """Train briefly, save npz, load through build_denoiser, run PnP."""
+        from pnp_admm_cnc_mri_tpu.models import convert
+        from pnp_admm_cnc_mri_tpu.priors import denoiser as dn
+        from pnp_admm_cnc_mri_tpu.solvers import admm
+        from pnp_admm_cnc_mri_tpu.config import ADMMConfig
+
+        model = DnCNN(out_nc=1, nc=64, nb=17)
+        params, _ = trainer.train_denoiser(
+            model, patches, 15 / 255.0, steps=5, batch_size=8, log_every=5
+        )
+        path = str(tmp_path / "dncnn_tiny.npz")
+        convert.save_npz(jax.tree.map(np.asarray, params), path)
+
+        denoise = dn.build_denoiser("dncnn_15", weights=path)
+        r = np.random.default_rng(0)
+        img = r.random((32, 32))
+        mask = (r.random((32, 32)) < 0.4).astype(np.float64)
+        noise = 0.3 * (r.normal(size=(32, 32)) + 1j * r.normal(size=(32, 32)))
+        y = jnp.asarray(np.fft.fft2(img) * mask + noise, jnp.complex64)
+        final, _ = admm.pnp_admm_l1(
+            y, jnp.asarray(mask, jnp.float32), ADMMConfig(iter_num=3, rho=0.15), denoise
+        )
+        assert np.isfinite(np.asarray(final.x)).all()
