@@ -29,6 +29,7 @@ def build_parser() -> argparse.ArgumentParser:
             "pnp_cnc_bm3d",
             "pnp_l1_d",
             "pnp_cnc_d",
+            "consensus_l1",
         ],
     )
     p.add_argument("--testset", default="set1")
@@ -88,7 +89,41 @@ def main(argv=None) -> int:
     )
     dtype = jnp.float64 if args.f64 else jnp.float32
 
-    if args.algo in ("admm_l1", "admm_cnc"):
+    if args.algo == "consensus_l1":
+        # Multi-mask joint reconstruction: one shared z across all three
+        # reference masks (new capability; no reference counterpart).
+        import numpy as np
+
+        from pnp_admm_cnc_mri_tpu.cli.experiments import prepare_batch, score_and_log
+        from pnp_admm_cnc_mri_tpu.data import images as images_mod, masks as masks_mod, noise as noise_mod
+        from pnp_admm_cnc_mri_tpu.parallel import consensus
+
+        testsets_dir = args.testsets_dir or images_mod.DEFAULT_TESTSETS
+        import os as _os
+
+        imgs01, truth, names = images_mod.load_testset(
+            _os.path.join(testsets_dir, args.testset)
+        )
+        all_masks = np.stack(list(masks_mod.load_all_masks(data_dir=args.data_dir).values()))
+        kn = noise_mod.load_noise(args.data_dir)
+        base = cfg_mod.ADMM_L1_DEFAULT
+        cfg = _merge_cfg(base, args)
+        dtp = jnp.float64 if args.f64 else jnp.float32
+        cdt = jnp.complex128 if args.f64 else jnp.complex64
+
+        zs = []
+        for img in imgs01:
+            ys = np.fft.fft2(img[None], axes=(-2, -1)) * all_masks + kn
+            z, _ = consensus.run_consensus(
+                jnp.asarray(ys, cdt), jnp.asarray(all_masks, dtp), cfg, dtype=dtp
+            )
+            zs.append(np.asarray(z))
+        out = score_and_log(
+            np.stack(zs), truth, names,
+            f"{args.testset}_dn_consensus_l1_all_masks", args.results_dir,
+            not args.no_save,
+        )
+    elif args.algo in ("admm_l1", "admm_cnc"):
         base = cfg_mod.ADMM_L1_DEFAULT if args.algo == "admm_l1" else cfg_mod.ADMM_CNC_DEFAULT
         out = experiments.run_classical(
             args.algo, cfg=_merge_cfg(base, args), dtype=dtype, **common

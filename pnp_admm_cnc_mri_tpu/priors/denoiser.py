@@ -110,6 +110,9 @@ def build_denoiser(
     noises: Optional[np.ndarray] = None,
     allow_random_init: bool = True,
     param_dtype=jnp.float32,
+    nc: int = 64,
+    nb: Optional[int] = None,
+    params=None,
 ) -> Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray]:
     """Build a jittable ``denoise(v, i)`` for a reference model name.
 
@@ -117,14 +120,18 @@ def build_denoiser(
     With no weights and ``allow_random_init``, random-initialized parameters
     are used (functional pipeline; quality obviously not meaningful).
     ``noises``: the complex k-space noise field (for fdncnn's map channel).
+    ``nc``/``nb`` override the architecture width/depth (tests, custom
+    models); ``params`` injects an already-loaded pytree directly.
     """
     name = model_name.lower()
 
     if "dncnn" in name and "fdncnn" not in name:
-        nb = 20 if name in ("dncnn_gray_blind", "dncnn_color_blind", "dncnn3") else 17
-        model = DnCNN(out_nc=1, nc=64, nb=nb)
-        params = _load_params(model, weights, convert.convert_dncnn, nb=nb,
-                              allow_random=allow_random_init, dtype=param_dtype)
+        if nb is None:
+            nb = 20 if name in ("dncnn_gray_blind", "dncnn_color_blind", "dncnn3") else 17
+        model = DnCNN(out_nc=1, nc=nc, nb=nb)
+        if params is None:
+            params = _load_params(model, weights, convert.convert_dncnn, nb=nb,
+                                  allow_random=allow_random_init, dtype=param_dtype)
 
         def denoise(v, i):
             x, restore = _as_nhwc(v)
@@ -133,10 +140,11 @@ def build_denoiser(
         return denoise
 
     if "fdncnn" in name:
-        model = FDnCNN(out_nc=1, nc=64, nb=20)
-        params = _load_params(model, weights, convert.convert_fdncnn, nb=20,
-                              allow_random=allow_random_init, dtype=param_dtype,
-                              in_nc=2)
+        model = FDnCNN(out_nc=1, nc=nc, nb=nb or 20)
+        if params is None:
+            params = _load_params(model, weights, convert.convert_fdncnn, nb=nb or 20,
+                                  allow_random=allow_random_init, dtype=param_dtype,
+                                  in_nc=2)
         if noises is None:
             from pnp_admm_cnc_mri_tpu.data import noise as noise_mod
 
@@ -151,14 +159,18 @@ def build_denoiser(
         return denoise
 
     if "ircnn" in name:
-        model = IRCNN(out_nc=1, nc=64)
+        model = IRCNN(out_nc=1, nc=nc)
         nlm = 15.0 / 255.0 if noise_level_model is None else noise_level_model
         _, sigmas = schedules.get_rho_sigma(
             sigma=max(0.255 / 255.0, nlm), iter_num=iter_num,
             model_sigma1=49.0, model_sigma2=nlm * 255.0,
         )
         idx = jnp.asarray(schedules.ircnn_sigma_indices(sigmas))
-        stacked = _load_ircnn_stack(model, weights, allow_random_init, param_dtype)
+        stacked = params if params is not None else _load_ircnn_stack(
+            model, weights, allow_random_init, param_dtype)
+        # device-resident stack: numpy leaves cannot be gathered with a
+        # traced per-iteration index
+        stacked = jax.tree.map(lambda a: jnp.asarray(a, param_dtype), stacked)
 
         def denoise(v, i):
             params_i = jax.tree.map(lambda a: a[idx[i]], stacked)
@@ -168,11 +180,12 @@ def build_denoiser(
         return denoise
 
     if "ffdnet" in name:
-        model = FFDNet(out_nc=1, nc=64, nb=15)
+        model = FFDNet(out_nc=1, nc=nc, nb=nb or 15)
         nlm = 15.0 if noise_level_model is None else noise_level_model
-        params = _load_params(model, weights, convert.convert_ffdnet, nb=15,
-                              allow_random=allow_random_init, dtype=param_dtype,
-                              ffdnet=True)
+        if params is None:
+            params = _load_params(model, weights, convert.convert_ffdnet, nb=nb or 15,
+                                  allow_random=allow_random_init, dtype=param_dtype,
+                                  ffdnet=True)
         sig = jnp.asarray(nlm / 255.0, param_dtype)
 
         def denoise(v, i):
@@ -182,16 +195,17 @@ def build_denoiser(
         return denoise
 
     if "drunet" in name:
-        model = UNetRes(out_nc=1, nc=(64, 128, 256, 512), nb=4)
+        model = UNetRes(out_nc=1, nc=(nc, nc * 2, nc * 4, nc * 8), nb=nb or 4)
         nlm = 15.0 / 255.0 if noise_level_model is None else noise_level_model
         _, sigmas = schedules.get_rho_sigma(
             sigma=max(0.255 / 255.0, nlm), iter_num=iter_num,
             model_sigma1=49.0, model_sigma2=nlm * 255.0,
         )
         sigmas_d = jnp.asarray(sigmas, param_dtype)
-        params = _load_params(model, weights, convert.convert_drunet,
-                              allow_random=allow_random_init, dtype=param_dtype,
-                              in_nc=2)
+        if params is None:
+            params = _load_params(model, weights, convert.convert_drunet,
+                                  allow_random=allow_random_init, dtype=param_dtype,
+                                  in_nc=2)
         use_x8 = bool(x8) if x8 is not None else False
 
         def core(x, i):

@@ -1,0 +1,63 @@
+"""Solver-state snapshots: save/resume long sweeps (SURVEY.md §5).
+
+The reference has no checkpointing — a crash loses the run. Here any
+ADMMState pytree (plus iteration counter and config) round-trips through
+one .npz; resuming continues the scan from the saved iterate.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Optional, Tuple
+
+import numpy as np
+
+from pnp_admm_cnc_mri_tpu.config import ADMMConfig
+from pnp_admm_cnc_mri_tpu.solvers.admm import ADMMState
+
+
+def save_state(path: str, state: ADMMState, iteration: int, cfg: Optional[ADMMConfig] = None) -> None:
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    payload = {
+        "x": np.asarray(state.x),
+        "z": np.asarray(state.z),
+        "w": np.asarray(state.w),
+        "iteration": np.asarray(iteration),
+    }
+    if cfg is not None:
+        payload["config_json"] = np.frombuffer(
+            json.dumps(dataclasses.asdict(cfg)).encode(), dtype=np.uint8
+        )
+    np.savez(path, **payload)
+
+
+def load_state(path: str) -> Tuple[ADMMState, int, Optional[ADMMConfig]]:
+    with np.load(path) as z:
+        state = ADMMState(x=z["x"], z=z["z"], w=z["w"])
+        it = int(z["iteration"])
+        cfg = None
+        if "config_json" in z.files:
+            cfg = ADMMConfig(**json.loads(bytes(z["config_json"]).decode()))
+    return state, it, cfg
+
+
+def resume_admm(path: str, y, mask, z_update, clamp: bool = False):
+    """Continue a checkpointed run to its configured iteration count."""
+    import jax.numpy as jnp
+
+    from pnp_admm_cnc_mri_tpu.solvers import admm
+
+    state, it, cfg = load_state(path)
+    if cfg is None:
+        raise ValueError(f"{path} has no embedded config")
+    state = ADMMState(*(jnp.asarray(a) for a in state))
+    remaining = cfg.iter_num - it
+    import jax
+
+    def step(s, i):
+        return admm.admm_step(s, i + it, y, mask, cfg.rho, z_update, clamp), None
+
+    final, _ = jax.lax.scan(step, state, jnp.arange(max(remaining, 0)))
+    return final, cfg

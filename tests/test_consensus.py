@@ -1,0 +1,78 @@
+"""Consensus ADMM: sharded == batched; multi-mask fusion beats single-mask."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pnp_admm_cnc_mri_tpu.config import ADMMConfig
+from pnp_admm_cnc_mri_tpu.parallel import consensus, mesh as mesh_lib
+from pnp_admm_cnc_mri_tpu.solvers import admm
+
+
+def _multi_mask_scenario(rng, n_obs=4, n=32):
+    img = rng.random((n, n))
+    masks = np.stack(
+        [(rng.random((n, n)) < 0.25).astype(np.float64) for _ in range(n_obs)]
+    )
+    noises = 0.3 * (
+        rng.normal(size=(n_obs, n, n)) + 1j * rng.normal(size=(n_obs, n, n))
+    )
+    ys = np.fft.fft2(img[None], axes=(-2, -1)) * masks + noises
+    return img, masks, ys
+
+
+class TestConsensus:
+    def test_sharded_matches_batched(self, rng):
+        if len(jax.devices()) < 4:
+            pytest.skip("needs 4 devices")
+        img, masks, ys = _multi_mask_scenario(rng, n_obs=8)
+        cfg = ADMMConfig(iter_num=15, lam=0.1, rho=0.05)
+
+        z_batched, _ = consensus.run_consensus(
+            jnp.asarray(ys, jnp.complex64), jnp.asarray(masks, jnp.float32), cfg
+        )
+        mesh = mesh_lib.make_mesh(n_data=4, devices=jax.devices()[:4])
+        z_sharded = consensus.run_consensus_sharded(
+            jnp.asarray(ys, jnp.complex64), jnp.asarray(masks, jnp.float32), cfg, mesh
+        )
+        np.testing.assert_allclose(
+            np.asarray(z_sharded), np.asarray(z_batched), rtol=2e-5, atol=1e-6
+        )
+
+    def test_fusion_beats_single_mask(self, rng):
+        """Joint reconstruction from 4 x 25% masks must beat the average
+        single-mask reconstruction (more k-space coverage through
+        consensus; individual masks vary in luck over low frequencies)."""
+        img, masks, ys = _multi_mask_scenario(rng, n_obs=4)
+        cfg = ADMMConfig(iter_num=40, lam=0.1, rho=0.05)
+
+        z, _ = consensus.run_consensus(
+            jnp.asarray(ys, jnp.complex64), jnp.asarray(masks, jnp.float32), cfg
+        )
+        err_consensus = float(jnp.linalg.norm(z - img) / np.linalg.norm(img))
+
+        errs_single = []
+        for i in range(4):
+            final, _ = admm.admm_l1(
+                jnp.asarray(ys[i], jnp.complex64),
+                jnp.asarray(masks[i], jnp.float32),
+                cfg,
+            )
+            errs_single.append(float(jnp.linalg.norm(final.x - img) / np.linalg.norm(img)))
+        assert err_consensus < np.mean(errs_single), (err_consensus, errs_single)
+
+    def test_consensus_consistency_identical_obs(self, rng):
+        """With identical observations, consensus equals the single solve."""
+        img, masks, ys = _multi_mask_scenario(rng, n_obs=1)
+        masks4 = np.repeat(masks, 4, axis=0)
+        ys4 = np.repeat(ys, 4, axis=0)
+        cfg = ADMMConfig(iter_num=20, lam=0.1, rho=0.05)
+        z, _ = consensus.run_consensus(
+            jnp.asarray(ys4, jnp.complex64), jnp.asarray(masks4, jnp.float32), cfg
+        )
+        final, _ = admm.admm_l1(
+            jnp.asarray(ys[0], jnp.complex64), jnp.asarray(masks[0], jnp.float32), cfg,
+            fused=False,
+        )
+        np.testing.assert_allclose(np.asarray(z), np.asarray(final.z), rtol=1e-5, atol=1e-6)

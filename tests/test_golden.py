@@ -61,3 +61,51 @@ def test_float32_within_parity_budget():
         dtype=jnp.float32,
     )
     assert abs(out32["psnr"] - 23.8683) < 0.1, out32
+
+
+@requires_reference_data
+@pytest.mark.slow
+class TestBM3DPipelinesGolden:
+    """Golden parity for the BM3D pipelines, verified against FRESH runs of
+    the reference scripts in this environment (patched scratch copy with
+    the C binaries):
+
+    - 【2】PNP_ADMM_L1_BM3D (defaults iter=50, reo=0.8, Random30):
+      05.png PSNR 25.1557, SSIM 0.6652, RE 0.1749
+    - 【5】PNP_ADMM_CNC_BM3D (alpha=1.2, iter=50, lam=0.02, reo=0.6, b=36):
+      05.png PSNR 26.868, SSIM 0.7171, RE 0.1436
+    """
+
+    def test_pnp_l1_bm3d_set1(self):
+        import jax.numpy as jnp
+
+        from pnp_admm_cnc_mri_tpu import config as cfg_mod
+        from pnp_admm_cnc_mri_tpu.cli import experiments
+        from pnp_admm_cnc_mri_tpu.priors import bm3d_prior
+
+        den = bm3d_prior.make_bm3d_denoiser()
+        out = experiments.run_pnp(
+            den, cfg_mod.PNP_L1_BM3D_DEFAULT, scheme="l1", testset="set1",
+            mask_name="Q_Random30", clamp=False,
+            results_dir="/tmp/pnpadmm_test_results", save_images=False,
+            result_tag="golden_l1_bm3d", dtype=jnp.float32,
+        )
+        assert abs(out["psnr"] - 25.156) < 0.15, out
+        assert abs(out["ssim"] - 0.6652) < 0.02, out
+
+    def test_pnp_cnc_bm3d_set1(self):
+        import jax.numpy as jnp
+
+        from pnp_admm_cnc_mri_tpu import config as cfg_mod
+        from pnp_admm_cnc_mri_tpu.cli import experiments
+        from pnp_admm_cnc_mri_tpu.priors import bm3d_prior
+
+        den = bm3d_prior.make_bm3d_denoiser()
+        out = experiments.run_pnp(
+            den, cfg_mod.PNP_CNC_BM3D_DEFAULT, scheme="cnc", testset="set1",
+            mask_name="Q_Random30", clamp=False,
+            results_dir="/tmp/pnpadmm_test_results", save_images=False,
+            result_tag="golden_cnc_bm3d", dtype=jnp.float32,
+        )
+        assert abs(out["psnr"] - 26.868) < 0.15, out
+        assert abs(out["ssim"] - 0.7171) < 0.02, out

@@ -126,3 +126,198 @@ def test_pnp_dncnn_end_to_end_parity(rng):
         dtype=jnp.float32,
     )
     np.testing.assert_allclose(np.asarray(final.x), x, rtol=5e-3, atol=5e-4)
+
+
+@torch.no_grad()
+def test_pnp_ircnn_sigma_bundle_end_to_end_parity(rng):
+    """IRCNN: our stacked-weights + on-device gather must equal the
+    reference's per-iteration load_state_dict swap (【3】:280-288)."""
+    import models.network_dncnn as ref_models
+
+    from pnp_admm_cnc_mri_tpu.models import convert
+    from pnp_admm_cnc_mri_tpu.ops import schedules
+
+    nc = 8
+    torch_models = []
+    bundle = {}
+    for i in range(25):
+        m = ref_models.IRCNN(in_nc=1, out_nc=1, nc=nc).eval()
+        torch_models.append(m)
+        bundle[str(i)] = m.state_dict()
+    stacked = convert.convert_ircnn_bundle(bundle)
+
+    img = rng.random((32, 32))
+    mask = (rng.random((32, 32)) < 0.4).astype(np.float64)
+    noise = 0.4 * (rng.normal(size=(32, 32)) + 1j * rng.normal(size=(32, 32)))
+    y = np.fft.fft2(img) * mask + noise
+    iter_num, rho = 8, 0.145
+    nlm = 15.0 / 255.0
+    _, sigmas = schedules.get_rho_sigma(
+        sigma=max(0.255 / 255.0, nlm), iter_num=iter_num,
+        model_sigma1=49.0, model_sigma2=nlm * 255.0,
+    )
+    idx = schedules.ircnn_sigma_indices(sigmas)
+
+    # reference-style loop with per-iteration model swap
+    index = np.nonzero(mask)
+    la2 = 1.0 / 2.0 / rho
+    x = np.abs(np.fft.ifft2(y))
+    z = x.copy()
+    w = np.zeros_like(x)
+    for i in range(iter_num):
+        xf = np.fft.fft2(z - w)
+        xf[index] = (la2 * xf[index] + y[index]) / (1.0 + la2)
+        x = np.abs(np.real(np.fft.ifft2(xf)))
+        v = torch.from_numpy((x + w)[None, None]).float()
+        z = torch_models[int(idx[i])](v).numpy()[0, 0].astype(np.float64)
+        w = w + x - z
+        x, z, w = x.clip(0, 1), z.clip(0, 1), w.clip(0, 1)
+
+    # ours, fully jitted with the stacked gather
+    denoise = dn.build_denoiser("ircnn_gray", iter_num=iter_num, nc=nc, params=stacked)
+    cfg = ADMMConfig(iter_num=iter_num, rho=rho)
+    final, _ = admm.pnp_admm_l1(
+        jnp.asarray(y, jnp.complex64), jnp.asarray(mask, jnp.float32), cfg,
+        denoise, dtype=jnp.float32,
+    )
+    np.testing.assert_allclose(np.asarray(final.x), x, rtol=5e-3, atol=5e-4)
+
+
+@torch.no_grad()
+def test_pnp_drunet_sigma_map_end_to_end_parity(rng):
+    """DRUNet: sigma-ladder map conditioning inside the loop matches the
+    reference denoising_step1 drunet branch (x8 off, plain forward)."""
+    import models.network_unet as ref_unet
+
+    from pnp_admm_cnc_mri_tpu.models import convert
+    from pnp_admm_cnc_mri_tpu.ops import schedules
+
+    tm = ref_unet.UNetRes(
+        in_nc=2, out_nc=1, nc=[4, 8, 16, 32], nb=2, act_mode="R",
+        downsample_mode="strideconv", upsample_mode="convtranspose",
+    ).eval()
+    params = convert.convert_drunet(tm.state_dict(), nb=2)
+
+    img = rng.random((32, 32))
+    mask = (rng.random((32, 32)) < 0.4).astype(np.float64)
+    noise = 0.4 * (rng.normal(size=(32, 32)) + 1j * rng.normal(size=(32, 32)))
+    y = np.fft.fft2(img) * mask + noise
+    iter_num, rho = 6, 0.26
+    nlm = 15.0 / 255.0
+    _, sigmas = schedules.get_rho_sigma(
+        sigma=max(0.255 / 255.0, nlm), iter_num=iter_num,
+        model_sigma1=49.0, model_sigma2=nlm * 255.0,
+    )
+
+    index = np.nonzero(mask)
+    la2 = 1.0 / 2.0 / rho
+    x = np.abs(np.fft.ifft2(y))
+    z = x.copy()
+    w = np.zeros_like(x)
+    for i in range(iter_num):
+        xf = np.fft.fft2(z - w)
+        xf[index] = (la2 * xf[index] + y[index]) / (1.0 + la2)
+        x = np.abs(np.real(np.fft.ifft2(xf)))
+        v = torch.from_numpy((x + w)[None, None]).float()
+        sm = torch.full((1, 1, 32, 32), float(sigmas[i]))
+        z = tm(torch.cat([v, sm], dim=1)).numpy()[0, 0].astype(np.float64)
+        w = w + x - z
+        x, z, w = x.clip(0, 1), z.clip(0, 1), w.clip(0, 1)
+
+    denoise = dn.build_denoiser("drunet_gray", iter_num=iter_num, nc=4, nb=2,
+                                params=params, x8=False)
+    cfg = ADMMConfig(iter_num=iter_num, rho=rho)
+    final, _ = admm.pnp_admm_l1(
+        jnp.asarray(y, jnp.complex64), jnp.asarray(mask, jnp.float32), cfg,
+        denoise, dtype=jnp.float32,
+    )
+    np.testing.assert_allclose(np.asarray(final.x), x, rtol=5e-3, atol=1e-3)
+
+
+@torch.no_grad()
+def test_pnp_ffdnet_end_to_end_parity(rng):
+    """FFDNet: sigma-argument conditioning matches the reference branch."""
+    import models.network_ffdnet as ref_ffdnet
+
+    from pnp_admm_cnc_mri_tpu.models import convert
+
+    tm = ref_ffdnet.FFDNet(in_nc=1, out_nc=1, nc=8, nb=5, act_mode="R").eval()
+    params = convert.convert_ffdnet(tm.state_dict(), nb=5)
+
+    img = rng.random((32, 32))
+    mask = (rng.random((32, 32)) < 0.4).astype(np.float64)
+    noise = 0.4 * (rng.normal(size=(32, 32)) + 1j * rng.normal(size=(32, 32)))
+    y = np.fft.fft2(img) * mask + noise
+    iter_num, rho = 6, 0.25
+    nlm = 15.0
+
+    index = np.nonzero(mask)
+    la2 = 1.0 / 2.0 / rho
+    x = np.abs(np.fft.ifft2(y))
+    z = x.copy()
+    w = np.zeros_like(x)
+    for i in range(iter_num):
+        xf = np.fft.fft2(z - w)
+        xf[index] = (la2 * xf[index] + y[index]) / (1.0 + la2)
+        x = np.abs(np.real(np.fft.ifft2(xf)))
+        v = torch.from_numpy((x + w)[None, None]).float()
+        sig = torch.full((1, 1, 1, 1), nlm / 255.0)
+        z = tm(v, sig).numpy()[0, 0].astype(np.float64)
+        w = w + x - z
+        x, z, w = x.clip(0, 1), z.clip(0, 1), w.clip(0, 1)
+
+    denoise = dn.build_denoiser("ffdnet_gray", nc=8, nb=5, params=params,
+                                noise_level_model=nlm)
+    cfg = ADMMConfig(iter_num=iter_num, rho=rho)
+    final, _ = admm.pnp_admm_l1(
+        jnp.asarray(y, jnp.complex64), jnp.asarray(mask, jnp.float32), cfg,
+        denoise, dtype=jnp.float32,
+    )
+    np.testing.assert_allclose(np.asarray(final.x), x, rtol=5e-3, atol=5e-4)
+
+
+@torch.no_grad()
+def test_pnp_cnc_dncnn_pair_end_to_end_parity(rng):
+    """The two-checkpoint CNC-DnCNN variant (【6】:372,517-519): two
+    different DnCNN models in the s and z slots."""
+    import models.network_dncnn as ref_models
+
+    from pnp_admm_cnc_mri_tpu.models import convert
+
+    tm1 = ref_models.DnCNN(in_nc=1, out_nc=1, nc=8, nb=5, act_mode="R").eval()
+    tm2 = ref_models.DnCNN(in_nc=1, out_nc=1, nc=8, nb=5, act_mode="R").eval()
+    p1 = convert.convert_dncnn(tm1.state_dict(), nb=5)
+    p2 = convert.convert_dncnn(tm2.state_dict(), nb=5)
+
+    img = rng.random((32, 32))
+    mask = (rng.random((32, 32)) < 0.4).astype(np.float64)
+    noise = 0.4 * (rng.normal(size=(32, 32)) + 1j * rng.normal(size=(32, 32)))
+    y = np.fft.fft2(img) * mask + noise
+    iter_num = 6
+    a, rho, lam, b = 1.2, 0.45, 4.0, 0.3
+
+    index = np.nonzero(mask)
+    la2 = 1.0 / 2.0 / rho
+    x = np.abs(np.fft.ifft2(y))
+    z = x.copy()
+    w = np.zeros_like(x)
+    for i in range(iter_num):
+        xf = np.fft.fft2(z - w)
+        xf[index] = (la2 * xf[index] + y[index]) / (1.0 + la2)
+        x = np.abs(np.real(np.fft.ifft2(xf)))
+        zt = torch.from_numpy(z[None, None]).float()
+        s = tm1(zt).numpy()[0, 0].astype(np.float64)
+        t = (1 - a) * z + a * (x + w) + a * rho * lam * b * (z - s)
+        tt = torch.from_numpy(t[None, None]).float()
+        z = tm2(tt).numpy()[0, 0].astype(np.float64)
+        w = w + x - z
+        x, z, w = x.clip(0, 1), z.clip(0, 1), w.clip(0, 1)
+
+    d1 = dn.build_denoiser("dncnn_25", nc=8, nb=5, params=p1)
+    d2 = dn.build_denoiser("dncnn_15", nc=8, nb=5, params=p2)
+    cfg = ADMMConfig(iter_num=iter_num, alpha=a, rho=rho, lam=lam, b=b)
+    final, _ = admm.pnp_admm_cnc(
+        jnp.asarray(y, jnp.complex64), jnp.asarray(mask, jnp.float32), cfg,
+        d1, d2, clamp=True, dtype=jnp.float32,
+    )
+    np.testing.assert_allclose(np.asarray(final.x), x, rtol=5e-3, atol=5e-4)
