@@ -40,10 +40,11 @@ from pnp_admm_cnc_mri_tpu.ops import schedules
 # ---------------------------------------------------------------------------
 
 
-def _augment(x: jnp.ndarray, mode: int) -> jnp.ndarray:
-    """Dihedral augment on (..., H, W); mode 0-7 as in the reference."""
-    rot = lambda k: jnp.rot90(x, k, axes=(-2, -1))
-    flip_h = lambda a: jnp.flip(a, axis=-2)
+def _augment(x: jnp.ndarray, mode: int, axes=(-2, -1)) -> jnp.ndarray:
+    """Dihedral augment over the (H, W) ``axes``; mode 0-7 as in the
+    reference. Default trailing axes suit (..., H, W); NHWC uses (1, 2)."""
+    rot = lambda k: jnp.rot90(x, k, axes=axes)
+    flip_h = lambda a: jnp.flip(a, axis=axes[0])
     if mode == 0:
         return x
     if mode == 1:
@@ -61,9 +62,11 @@ def _augment(x: jnp.ndarray, mode: int) -> jnp.ndarray:
     return flip_h(rot(3))
 
 
-def augment(x: jnp.ndarray, mode: jnp.ndarray) -> jnp.ndarray:
+def augment(x: jnp.ndarray, mode: jnp.ndarray, axes=(-2, -1)) -> jnp.ndarray:
     """Traced-mode dihedral augment via lax.switch (square images)."""
-    return jax.lax.switch(mode, [functools.partial(_augment, mode=m) for m in range(8)], x)
+    return jax.lax.switch(
+        mode, [functools.partial(_augment, mode=m, axes=axes) for m in range(8)], x
+    )
 
 
 INVERSE_MODE = np.array([0, 1, 2, 5, 4, 3, 6, 7], dtype=np.int32)
@@ -71,19 +74,22 @@ INVERSE_MODE = np.array([0, 1, 2, 5, 4, 3, 6, 7], dtype=np.int32)
 ``【3】:47-50`` uses ``8 - i`` for i in {3,5})."""
 
 
-def x8_cycling(denoise_core: Callable, i: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+def x8_cycling(denoise_core: Callable, i: jnp.ndarray, v: jnp.ndarray,
+               axes=(1, 2)) -> jnp.ndarray:
     """Per-iteration cycling augmentation: transform by i%8, denoise,
-    inverse-transform (reference ``【3】:41,47-50`` — the DRUNet x8 path)."""
+    inverse-transform (reference ``【3】:41,47-50`` — the DRUNet x8 path).
+    ``axes`` defaults to NHWC spatial axes."""
     m = jnp.mod(i, 8).astype(jnp.int32)
-    out = denoise_core(augment(v, m))
-    return augment(out, jnp.asarray(INVERSE_MODE)[m])
+    out = denoise_core(augment(v, m, axes))
+    return augment(out, jnp.asarray(INVERSE_MODE)[m], axes)
 
 
-def x8_ensemble(denoise_core: Callable, v: jnp.ndarray) -> jnp.ndarray:
+def x8_ensemble(denoise_core: Callable, v: jnp.ndarray, axes=(1, 2)) -> jnp.ndarray:
     """Full 8-fold self-ensemble average (reference ``utils_model.test_x8``,
-    mode 3 of ``test_mode``)."""
+    mode 3 of ``test_mode``). ``axes`` defaults to NHWC spatial axes."""
     outs = [
-        _augment(denoise_core(_augment(v, m)), int(INVERSE_MODE[m])) for m in range(8)
+        _augment(denoise_core(_augment(v, m, axes)), int(INVERSE_MODE[m]), axes)
+        for m in range(8)
     ]
     return sum(outs) / 8.0
 

@@ -321,3 +321,71 @@ def test_pnp_cnc_dncnn_pair_end_to_end_parity(rng):
         d1, d2, clamp=True, dtype=jnp.float32,
     )
     np.testing.assert_allclose(np.asarray(final.x), x, rtol=5e-3, atol=5e-4)
+
+
+@torch.no_grad()
+def test_pnp_drunet_x8_cycling_end_to_end_parity(rng):
+    """DRUNet x8=True path: per-iteration cycling dihedral augmentation
+    around the sigma-conditioned forward (【3】:39-50)."""
+    import types
+
+    if "torchvision" not in sys.modules:
+        tv = types.ModuleType("torchvision")
+        tvu = types.ModuleType("torchvision.utils")
+        tvu.make_grid = lambda *a, **k: None
+        tv.utils = tvu
+        sys.modules["torchvision"] = tv
+        sys.modules["torchvision.utils"] = tvu
+
+    import models.network_unet as ref_unet
+    from utils import utils_image as ref_util
+
+    from pnp_admm_cnc_mri_tpu.models import convert
+    from pnp_admm_cnc_mri_tpu.ops import schedules
+
+    tm = ref_unet.UNetRes(
+        in_nc=2, out_nc=1, nc=[4, 8, 16, 32], nb=2, act_mode="R",
+        downsample_mode="strideconv", upsample_mode="convtranspose",
+    ).eval()
+    params = convert.convert_drunet(tm.state_dict(), nb=2)
+
+    img = rng.random((32, 32))
+    mask = (rng.random((32, 32)) < 0.4).astype(np.float64)
+    noise = 0.4 * (rng.normal(size=(32, 32)) + 1j * rng.normal(size=(32, 32)))
+    y = np.fft.fft2(img) * mask + noise
+    iter_num, rho = 10, 0.26  # > 8 so the augment cycle wraps
+    nlm = 15.0 / 255.0
+    _, sigmas = schedules.get_rho_sigma(
+        sigma=max(0.255 / 255.0, nlm), iter_num=iter_num,
+        model_sigma1=49.0, model_sigma2=nlm * 255.0,
+    )
+
+    index = np.nonzero(mask)
+    la2 = 1.0 / 2.0 / rho
+    x = np.abs(np.fft.ifft2(y))
+    z = x.copy()
+    w = np.zeros_like(x)
+    for i in range(iter_num):
+        xf = np.fft.fft2(z - w)
+        xf[index] = (la2 * xf[index] + y[index]) / (1.0 + la2)
+        x = np.abs(np.real(np.fft.ifft2(xf)))
+        v = torch.from_numpy((x + w)[None, None]).float()
+        v = ref_util.augment_img_tensor4(v, i % 8)
+        sm = torch.full((1, 1, 32, 32), float(sigmas[i]))
+        out = tm(torch.cat([v, sm], dim=1))
+        if i % 8 == 3 or i % 8 == 5:
+            out = ref_util.augment_img_tensor4(out, 8 - i % 8)
+        else:
+            out = ref_util.augment_img_tensor4(out, i % 8)
+        z = out.numpy()[0, 0].astype(np.float64)
+        w = w + x - z
+        x, z, w = x.clip(0, 1), z.clip(0, 1), w.clip(0, 1)
+
+    denoise = dn.build_denoiser("drunet_gray", iter_num=iter_num, nc=4, nb=2,
+                                params=params, x8=True)
+    cfg = ADMMConfig(iter_num=iter_num, rho=rho)
+    final, _ = admm.pnp_admm_l1(
+        jnp.asarray(y, jnp.complex64), jnp.asarray(mask, jnp.float32), cfg,
+        denoise, dtype=jnp.float32,
+    )
+    np.testing.assert_allclose(np.asarray(final.x), x, rtol=5e-3, atol=1e-3)
