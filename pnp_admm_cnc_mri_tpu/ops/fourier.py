@@ -51,6 +51,21 @@ def zero_fill(y: jnp.ndarray) -> jnp.ndarray:
     return ifft2(y)
 
 
+def data_term_gradient(
+    x: jnp.ndarray, y: jnp.ndarray, mask: jnp.ndarray
+) -> jnp.ndarray:
+    """Gradient of the data-fidelity term: ``A^H (A x - y)``.
+
+    Reference ``utils/utils.py:50-55`` (``Df``): ``ifft2(mask*fft2(x) - y)``
+    with y read only at sampled locations. Returns the complex gradient
+    image (callers take real/abs as needed). Useful for gradient-based
+    solvers (FISTA/PGD variants) beyond the ADMM family.
+    """
+    res = fft2(x) * mask
+    res = jnp.where(mask != 0, res - y, res)
+    return ifft2(res)
+
+
 def data_consistency(
     v: jnp.ndarray,
     y: jnp.ndarray,
