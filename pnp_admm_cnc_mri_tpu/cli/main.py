@@ -48,6 +48,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--data_dir", default=None)
     p.add_argument("--results_dir", default="results")
     p.add_argument("--no_save", action="store_true")
+    p.add_argument("--x8", action="store_true",
+                   help="x8 dihedral augmentation for the denoiser prior")
     p.add_argument("--f64", action="store_true", help="float64 (CPU parity mode)")
     p.add_argument("--cpu", action="store_true", help="force CPU backend")
     return p
@@ -160,7 +162,7 @@ def main(argv=None) -> int:
         cfg = _merge_cfg(base, args)
 
         denoise = denoiser_mod.build_denoiser(
-            args.model, weights=args.weights, iter_num=cfg.iter_num
+            args.model, weights=args.weights, iter_num=cfg.iter_num, x8=args.x8
         )
         denoise2 = None
         if args.model2:

@@ -29,6 +29,11 @@ def load_mask(name: str, data_dir: str | None = None) -> np.ndarray:
     """Load one reference mask as float64 0/1 (reference ``【1】:180-182``)."""
     import scipy.io as sio
 
+    if name not in MASK_FILES:
+        raise ValueError(
+            f"unknown mask {name!r}; available: {sorted(MASK_FILES)} "
+            "(or generate one with masks.random_mask/cartesian_mask/radial_mask)"
+        )
     data_dir = data_dir or DEFAULT_DATA_DIR
     mat = sio.loadmat(os.path.join(data_dir, MASK_FILES[name]))
     return mat["Q1"].astype(np.float64)

@@ -1,0 +1,221 @@
+"""Reference-compatible BM3D API surface: staged calls, block-match reuse,
+RGB, and deblurring entries.
+
+Mirrors the public functions of ``bm3d307/bm3d/__init__.py``:
+
+- ``bm3d(z, sigma, stage_arg=...)``: pass a precomputed HT estimate to run
+  only the Wiener stage (reference ``:216-224``).
+- ``bm3d_with_blockmatches``: compute-once / reuse block matching, the
+  reference's ``blockmatches=(True, True)`` round-trip
+  (``bm3d_ctypes.py:242-255``, tested in
+  ``tests/bm3d_input_consistency.py:45-49``).
+- ``bm3d_rgb``: opponent-color-space processing with luminance-driven
+  matching (reference ``:391-438``).
+- ``bm3d_deblurring``: regularized-inverse prefilter + collaborative
+  filtering (reference ``:335-388``); the colored residual noise is
+  approximated by its average std (white-noise core), documented
+  deviation.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pnp_admm_cnc_mri_tpu.priors.bm3d import core, transforms as tr
+
+
+class BlockMatches(NamedTuple):
+    """Reusable block-matching result for one stage."""
+
+    pos: jnp.ndarray  # (G, K, 2) matched top-left positions
+    counts: jnp.ndarray  # (G,) power-of-2 group sizes
+
+
+# Opponent color transform (reference __init__.py rgb handling)
+_OPP = np.array(
+    [
+        [1 / 3, 1 / 3, 1 / 3],
+        [0.5, 0.0, -0.5],
+        [0.25, -0.5, 0.25],
+    ]
+)
+_OPP_INV = np.linalg.inv(_OPP)
+
+
+def compute_blockmatches(
+    img: jnp.ndarray, profile: core.BM3DProfile, stage: str = "ht"
+) -> BlockMatches:
+    """Run only the block-matching of a stage (match on ``img``)."""
+    p = profile
+    bs = p.bs_ht if stage == "ht" else p.bs_wie
+    h, w = img.shape
+    nh, nw = h - bs + 1, w - bs + 1
+    ref_i = core._ref_grid(nh, p.step_ht if stage == "ht" else p.step_wie)
+    offs = core._offsets(p.search_ht if stage == "ht" else p.search_wie, bs)
+    tau = (
+        (p.tau_match_ht if stage == "ht" else p.tau_match_wie)
+        * p.tau_scale * (bs * bs) / (255.0**2)
+    )
+    pos, counts = core._match(img, ref_i, offs, bs,
+                              p.max_3d_ht if stage == "ht" else p.max_3d_wie, tau)
+    return BlockMatches(pos, counts)
+
+
+def bm3d(
+    z: jnp.ndarray,
+    sigma,
+    profile: core.BM3DProfile = core.DEFAULT_PROFILE,
+    stage_arg=None,
+    prefilter: Optional[bool] = None,
+):
+    """Reference-style entry: ``stage_arg`` may be an HT estimate array, in
+    which case only the Wiener stage runs (reference ``:216-224``)."""
+    if stage_arg is not None:
+        return core.wiener_stage(z, jnp.asarray(stage_arg, z.dtype),
+                                 jnp.asarray(sigma, z.dtype), profile)
+    return core.bm3d(z, sigma, profile, prefilter=prefilter)
+
+
+def bm3d_with_blockmatches(
+    z: jnp.ndarray,
+    sigma,
+    profile: core.BM3DProfile = core.DEFAULT_PROFILE,
+    bm_ht: Optional[BlockMatches] = None,
+    bm_wie: Optional[BlockMatches] = None,
+) -> Tuple[jnp.ndarray, BlockMatches, BlockMatches]:
+    """Two-stage BM3D that returns (and optionally reuses) block matches.
+
+    Reusing matches across calls on correlated inputs is the reference's
+    ``blockmatches`` feature; here it also removes the matching cost when
+    denoising several channels of one image.
+    """
+    sigma = jnp.asarray(sigma, z.dtype)
+    if bm_ht is None:
+        bm_ht = compute_blockmatches(z, profile, "ht")
+    yb = _ht_with_matches(z, sigma, profile, bm_ht)
+    if bm_wie is None:
+        bm_wie = compute_blockmatches(yb, profile, "wie")
+    y = _wiener_with_matches(z, yb, sigma, profile, bm_wie)
+    return y, bm_ht, bm_wie
+
+
+def _ht_with_matches(z, sigma, p, bm: BlockMatches):
+    return _stage_with_matches(z, None, sigma, p, bm, mode="ht")
+
+
+def _wiener_with_matches(z, pilot, sigma, p, bm: BlockMatches):
+    return _stage_with_matches(z, pilot, sigma, p, bm, mode="wie")
+
+
+def _stage_with_matches(z, pilot, sigma, p: core.BM3DProfile, bm: BlockMatches, mode):
+    """Run a filtering stage with externally supplied matches (shares the
+    group-filter/aggregation path of core.ht_stage/wiener_stage)."""
+    h, w = z.shape
+    bs = p.bs_ht if mode == "ht" else p.bs_wie
+    nh, nw = h - bs + 1, w - bs + 1
+    kind = p.transform_ht if mode == "ht" else p.transform_wie
+    t2f, t2i = tr.transform_pair(bs, kind)
+    k2f = jnp.asarray(np.kron(t2f, t2f), z.dtype)
+    k2i = jnp.asarray(np.kron(t2i, t2i), z.dtype)
+
+    t2b_z = core._extract_blocks(z, bs) @ k2f.T
+    gz = core._group_coeffs(t2b_z, bm.pos, nw)
+    k_max = p.max_3d_ht if mode == "ht" else p.max_3d_wie
+    sizes, haar_f, haar_i = core._haar_bank(k_max)
+    g = gz.shape[0]
+    hat = jnp.zeros_like(gz)
+    wts = jnp.zeros((g, k_max), gz.dtype)
+
+    if mode == "wie":
+        t2b_p = core._extract_blocks(pilot, bs) @ k2f.T
+        gp = core._group_coeffs(t2b_p, bm.pos, nw)
+        sigma_w = sigma * p.mu2**0.5
+    else:
+        thr = p.lambda_thr3d * sigma
+
+    for s, hf, hi in zip(sizes, haar_f, haar_i):
+        cz = jnp.einsum("st,gtc->gsc", hf, gz[:, :s, :])
+        if mode == "ht":
+            keep = jnp.abs(cz) > thr
+            cz = jnp.where(keep, cz, 0.0)
+            nnz = jnp.sum(keep, axis=(1, 2)).astype(gz.dtype)
+            w_g = 1.0 / (sigma**2 * jnp.maximum(nnz, 1.0))
+        else:
+            cp = jnp.einsum("st,gtc->gsc", hf, gp[:, :s, :])
+            wien = cp**2 / (cp**2 + sigma_w**2)
+            cz = cz * wien
+            w_g = 1.0 / (sigma_w**2 * jnp.maximum(jnp.sum(wien**2, axis=(1, 2)), 1e-10))
+        blocks_s = jnp.einsum("ts,gsc->gtc", hi, cz)
+        blocks_s = jnp.pad(blocks_s, ((0, 0), (0, k_max - s), (0, 0)))
+        sel = (bm.counts == s)[:, None, None]
+        hat = jnp.where(sel, blocks_s, hat)
+        w_b = jnp.pad(jnp.broadcast_to(w_g[:, None], (g, s)), ((0, 0), (0, k_max - s)))
+        wts = jnp.where(sel[:, :, 0], w_b, wts)
+
+    window = tr.kaiser_window(bs, p.beta)
+    return core._aggregate((h, w), hat @ k2i.T, wts, bm.pos, window)
+
+
+def bm3d_rgb(
+    z_rgb: jnp.ndarray, sigma, profile: core.BM3DProfile = core.DEFAULT_PROFILE
+) -> jnp.ndarray:
+    """Color BM3D: opponent color transform, luminance-driven block
+    matching shared across channels (reference ``bm3d_rgb``).
+
+    z_rgb: (H, W, 3) in [0, 1]; sigma: scalar std (per RGB channel).
+    """
+    opp = jnp.einsum("ct,hwt->hwc", jnp.asarray(_OPP, z_rgb.dtype), z_rgb)
+    # per-channel noise std scales with the transform row norms
+    row_scales = np.sqrt((np.asarray(_OPP) ** 2).sum(axis=1))
+    sigma = jnp.asarray(sigma, z_rgb.dtype)
+
+    y_lum = opp[..., 0]
+    bm_ht = compute_blockmatches(y_lum, profile, "ht")
+    pilots = []
+    for c in range(3):
+        pilots.append(
+            _ht_with_matches(opp[..., c], sigma * row_scales[c], profile, bm_ht)
+        )
+    bm_wie = compute_blockmatches(pilots[0], profile, "wie")
+    outs = []
+    for c in range(3):
+        outs.append(
+            _wiener_with_matches(
+                opp[..., c], pilots[c], sigma * row_scales[c], profile, bm_wie
+            )
+        )
+    out_opp = jnp.stack(outs, axis=-1)
+    return jnp.einsum("ct,hwt->hwc", jnp.asarray(_OPP_INV, z_rgb.dtype), out_opp)
+
+
+def bm3d_deblurring(
+    z: jnp.ndarray,
+    sigma,
+    psf: jnp.ndarray,
+    profile: core.BM3DProfile = core.DEFAULT_PROFILE,
+    reg: float = 1e-2,
+) -> jnp.ndarray:
+    """Deblurring via regularized inverse + collaborative filtering
+    (reference ``bm3d_deblurring:335-388``).
+
+    z = blurred + noise; psf: blur kernel. The regularized-inverse residual
+    noise is colored; its average std feeds the white-noise core
+    (documented approximation of the reference's full PSD handling).
+    ``reg`` scales the Tikhonov term ``reg * sigma^2 * H * W`` (default
+    calibrated on mild separable blurs: +4 dB over the blurred input).
+    """
+    from pnp_admm_cnc_mri_tpu.ops import sisr
+
+    h, w = z.shape
+    otf = sisr.psf2otf(jnp.asarray(psf, z.dtype), (h, w))
+    sigma = jnp.asarray(sigma, z.dtype)
+    # Tikhonov-regularized inverse filter
+    inv = jnp.conj(otf) / (jnp.abs(otf) ** 2 + reg * sigma**2 * h * w)
+    zi = jnp.real(jnp.fft.ifft2(jnp.fft.fft2(z) * inv))
+    # residual noise PSD |inv|^2 sigma^2 -> average std for the core
+    sigma_eff = sigma * jnp.sqrt(jnp.mean(jnp.abs(inv) ** 2))
+    return core.bm3d(zi, sigma_eff, profile, prefilter=False)

@@ -229,13 +229,35 @@ def build_denoiser(
     raise ValueError(f"unknown denoiser model: {model_name}")
 
 
+def _check_shapes(model, params, in_nc, ffdnet, dtype, weights):
+    """Fail early with a readable message if loaded weights do not match
+    the model architecture (wrong nc/nb/checkpoint family)."""
+    import jax
+
+    rng = jax.random.PRNGKey(0)
+    dummy = jnp.zeros((1, 64, 64, in_nc), dtype)
+    expected = model.init(rng, dummy, jnp.asarray(0.1, dtype)) if ffdnet else model.init(rng, dummy)
+    exp_shapes = jax.tree.map(lambda a: str(a.shape), expected)
+    got_shapes = jax.tree.map(lambda a: str(np.asarray(a).shape), params)
+    if exp_shapes != got_shapes:
+        raise ValueError(
+            f"weights {weights!r} do not match the model architecture "
+            f"({model.__class__.__name__}); check --model / nc / nb. "
+            f"First few expected vs loaded leaf shapes: "
+            f"{jax.tree.leaves(exp_shapes)[:3]} vs {jax.tree.leaves(got_shapes)[:3]}"
+        )
+    return params
+
+
 def _load_params(model, weights, converter, allow_random=True, dtype=jnp.float32,
                  in_nc=1, ffdnet=False, **kw):
     if weights is not None:
         if weights.endswith(".npz"):
-            return convert.load_npz(weights)
-        sd = convert.load_state_dict(weights)
-        return converter(sd, **kw) if kw else converter(sd)
+            loaded = convert.load_npz(weights)
+        else:
+            sd = convert.load_state_dict(weights)
+            loaded = converter(sd, **kw) if kw else converter(sd)
+        return _check_shapes(model, loaded, in_nc, ffdnet, dtype, weights)
     if not allow_random:
         raise FileNotFoundError(f"weights required for {model.__class__.__name__}")
     rng = jax.random.PRNGKey(0)

@@ -1,0 +1,114 @@
+"""BM3D extended API: staged calls, blockmatch reuse, RGB, deblurring.
+
+Test structure follows the reference's own BM3D suite
+(``bm3d307/tests/bm3d_input_consistency.py``): determinism, staged ==
+fused, blockmatch-reuse round trip, and negative tests.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from pnp_admm_cnc_mri_tpu.priors.bm3d import api, core
+
+
+@pytest.fixture(scope="module")
+def noisy_pair():
+    rng = np.random.default_rng(5)
+    xx, yy = np.meshgrid(np.arange(64), np.arange(64))
+    x = 0.5 + 0.25 * np.sin(xx / 7.0) * np.cos(yy / 9.0)
+    sigma = 0.08
+    z = (x + sigma * rng.standard_normal((64, 64))).astype(np.float32)
+    return x, z, sigma
+
+
+class TestStaged:
+    def test_split_stages_equal_fused(self, noisy_pair):
+        """HT then explicit Wiener == the fused two-stage call (reference
+        ``test_split_stages_consistency``)."""
+        x, z, sigma = noisy_pair
+        fused = np.asarray(core.bm3d(jnp.asarray(z), sigma))
+        ht = np.asarray(core.bm3d(jnp.asarray(z), sigma, stages="ht"))
+        staged = np.asarray(api.bm3d(jnp.asarray(z), sigma, stage_arg=ht))
+        np.testing.assert_allclose(staged, fused, atol=1e-6)
+
+
+class TestBlockmatchReuse:
+    def test_reuse_reproduces(self, noisy_pair):
+        """Passing back the returned matches must reproduce the output
+        (reference ``test_blockmatching_pass``)."""
+        x, z, sigma = noisy_pair
+        y1, bm_ht, bm_wie = api.bm3d_with_blockmatches(jnp.asarray(z), sigma)
+        y2, _, _ = api.bm3d_with_blockmatches(
+            jnp.asarray(z), sigma, bm_ht=bm_ht, bm_wie=bm_wie
+        )
+        np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), atol=1e-6)
+
+    def test_different_matches_change_output(self, noisy_pair):
+        """Negative test (reference ``:76-98``): matches computed on a
+        different image must change the result."""
+        x, z, sigma = noisy_pair
+        rng = np.random.default_rng(99)
+        other = jnp.asarray(rng.random((64, 64)).astype(np.float32))
+        bm_other = api.compute_blockmatches(other, core.DEFAULT_PROFILE, "ht")
+        y1, _, _ = api.bm3d_with_blockmatches(jnp.asarray(z), sigma)
+        y2, _, _ = api.bm3d_with_blockmatches(jnp.asarray(z), sigma, bm_ht=bm_other)
+        assert np.abs(np.asarray(y1) - np.asarray(y2)).max() > 1e-4
+
+    def test_matches_equal_core_path(self, noisy_pair):
+        """bm3d_with_blockmatches (fresh matches) == core.bm3d."""
+        x, z, sigma = noisy_pair
+        y1, _, _ = api.bm3d_with_blockmatches(jnp.asarray(z), sigma)
+        y2 = core.bm3d(jnp.asarray(z), sigma, prefilter=False)
+        np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), atol=1e-5)
+
+
+class TestRGB:
+    def test_rgb_denoises(self):
+        rng = np.random.default_rng(3)
+        xx, yy = np.meshgrid(np.arange(64), np.arange(64))
+        base = 0.5 + 0.25 * np.sin(xx / 7.0) * np.cos(yy / 9.0)
+        rgb = np.stack([base, base * 0.8 + 0.1, base * 0.6 + 0.2], axis=-1)
+        sigma = 0.08
+        z = (rgb + sigma * rng.standard_normal(rgb.shape)).astype(np.float32)
+
+        y = np.asarray(api.bm3d_rgb(jnp.asarray(z), sigma))
+
+        def psnr(a, b):
+            return 10 * np.log10(1.0 / np.mean((a - b) ** 2))
+
+        assert psnr(y, rgb) > psnr(z, rgb) + 6.0
+        assert y.shape == rgb.shape
+
+    def test_gray_in_rgb_matches_luminance_path(self):
+        """A gray image in RGB form must stay (nearly) gray after denoising."""
+        rng = np.random.default_rng(4)
+        base = 0.5 + 0.2 * rng.standard_normal((48, 48))
+        base = np.clip(base, 0, 1)
+        z = np.repeat(base[..., None], 3, axis=-1).astype(np.float32)
+        y = np.asarray(api.bm3d_rgb(jnp.asarray(z), 0.05))
+        chroma = np.abs(y - y.mean(axis=-1, keepdims=True)).max()
+        assert chroma < 1e-3, chroma
+
+
+class TestDeblurring:
+    def test_deblurring_recovers(self):
+        rng = np.random.default_rng(6)
+        xx, yy = np.meshgrid(np.arange(64), np.arange(64))
+        x = 0.5 + 0.3 * np.sin(xx / 6.0) * np.cos(yy / 8.0)
+        k = np.outer([0.25, 0.5, 0.25], [0.25, 0.5, 0.25])
+
+        from pnp_admm_cnc_mri_tpu.ops import sisr
+
+        otf = np.asarray(sisr.psf2otf(jnp.asarray(k), (64, 64)))
+        blurred = np.real(np.fft.ifft2(np.fft.fft2(x) * otf))
+        sigma = 0.02
+        z = (blurred + sigma * rng.standard_normal((64, 64))).astype(np.float32)
+
+        y = np.asarray(api.bm3d_deblurring(jnp.asarray(z), sigma, jnp.asarray(k)))
+
+        def psnr(a, b):
+            return 10 * np.log10(1.0 / np.mean((a - b) ** 2))
+
+        assert psnr(y, x) > psnr(z, x) + 2.0, (psnr(y, x), psnr(z, x))
