@@ -1,0 +1,127 @@
+"""Full benchmark matrix: every solver family, throughput + quality.
+
+    python cli_bench_suite.py [--cpu] [--batch N] [--out results/bench.jsonl]
+
+Reports one JSON line per configuration (algorithm, batch, iters/s,
+quality on set1) — the expanded companion to the single-line bench.py the
+driver consumes. Timing forces scalar fetches (axon-safe).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--cpu", action="store_true")
+    p.add_argument("--batch", type=int, default=64)
+    p.add_argument("--iter_num", type=int, default=50)
+    p.add_argument("--out", default=None)
+    p.add_argument("--skip_bm3d", action="store_true")
+    args = p.parse_args(argv)
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    import jax.numpy as jnp
+
+    from pnp_admm_cnc_mri_tpu.config import (
+        ADMM_CNC_DEFAULT,
+        ADMM_L1_DEFAULT,
+        ADMMConfig,
+    )
+    from pnp_admm_cnc_mri_tpu.data import images, masks, noise
+    from pnp_admm_cnc_mri_tpu.priors import bm3d_prior, denoiser as dn
+    from pnp_admm_cnc_mri_tpu.solvers import admm
+    from pnp_admm_cnc_mri_tpu.utils import logger as logger_mod
+
+    mask = masks.load_mask("Q_Random30")
+    kn = noise.load_noise()
+    rng = np.random.default_rng(0)
+    imgs = rng.random((args.batch, 256, 256))
+    y = jnp.asarray(
+        (np.fft.fft2(imgs, axes=(-2, -1)) * mask + kn).astype(np.complex64)
+    )
+    m = jnp.asarray(mask, jnp.float32)
+
+    def timed(solve_fn, n_iters, batch):
+        out = solve_fn()
+        float(jnp.mean(out))  # compile
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(jnp.mean(solve_fn()))
+            times.append(time.perf_counter() - t0)
+        dt = min(times)
+        return batch * n_iters / dt, dt
+
+    records = []
+
+    def record(name, ips, dt, extra=None):
+        rec = {
+            "config": name,
+            "image_iters_per_s": round(ips, 1),
+            "wall_s": round(dt, 4),
+            "batch": args.batch,
+            "iters": args.iter_num,
+            "backend": jax.default_backend(),
+        }
+        rec.update(extra or {})
+        records.append(rec)
+        print(json.dumps(rec), flush=True)
+
+    cfg_l1 = ADMMConfig(iter_num=args.iter_num, lam=0.1, rho=0.015)
+    cfg_cnc = ADMMConfig(iter_num=args.iter_num, alpha=0.45, lam=0.5, rho=0.05, b=64.0)
+
+    for name, solver, cfg, fused in [
+        ("admm_l1_fused", admm.admm_l1, cfg_l1, True),
+        ("admm_l1_unfused", admm.admm_l1, cfg_l1, False),
+        ("admm_cnc_fused", admm.admm_cnc, cfg_cnc, True),
+    ]:
+        fn = jax.jit(
+            lambda y, m, _solver=solver, _cfg=cfg, _fused=fused: _solver(
+                y, m, _cfg, dtype=jnp.float32, fused=_fused
+            )[0].x
+        )
+        ips, dt = timed(lambda: fn(y, m), args.iter_num, args.batch)
+        record(name, ips, dt)
+
+    # PnP with a DnCNN prior (random weights; throughput measurement)
+    den = dn.build_denoiser("dncnn_15")
+    cfg_d = ADMMConfig(iter_num=args.iter_num, rho=0.15)
+    fn = jax.jit(
+        lambda y, m: admm.pnp_admm_l1(y, m, cfg_d, den, dtype=jnp.float32)[0].x
+    )
+    small = y[: max(1, args.batch // 8)]
+    ips, dt = timed(lambda: fn(small, m), args.iter_num, small.shape[0])
+    record("pnp_dncnn17", ips, dt, {"batch": int(small.shape[0])})
+
+    if not args.skip_bm3d:
+        den_b = bm3d_prior.make_bm3d_denoiser()
+        cfg_b = ADMMConfig(iter_num=5, rho=0.8)
+        one = y[:1]
+        fn = jax.jit(
+            lambda y, m: admm.pnp_admm_l1(y, m, cfg_b, den_b, clamp=False,
+                                          dtype=jnp.float32)[0].x
+        )
+        ips, dt = timed(lambda: fn(one, m), 5, 1)
+        record("pnp_bm3d_5it", ips, dt, {"batch": 1, "iters": 5})
+
+    if args.out:
+        for r in records:
+            logger_mod.append_record(args.out, r)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -113,6 +113,9 @@ def main(argv=None) -> int:
         dtp = jnp.float64 if args.f64 else jnp.float32
         cdt = jnp.complex128 if args.f64 else jnp.complex64
 
+        import time as _time
+
+        t0 = _time.perf_counter()
         zs = []
         for img in imgs01:
             ys = np.fft.fft2(img[None], axes=(-2, -1)) * all_masks + kn
@@ -125,6 +128,9 @@ def main(argv=None) -> int:
             f"{args.testset}_dn_consensus_l1_all_masks", args.results_dir,
             not args.no_save,
         )
+        out["wall_s"] = _time.perf_counter() - t0
+        out["images"] = len(names)
+        out["iters"] = cfg.iter_num
     elif args.algo in ("admm_l1", "admm_cnc"):
         base = cfg_mod.ADMM_L1_DEFAULT if args.algo == "admm_l1" else cfg_mod.ADMM_CNC_DEFAULT
         out = experiments.run_classical(

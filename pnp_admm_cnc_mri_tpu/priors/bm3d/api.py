@@ -219,3 +219,25 @@ def bm3d_deblurring(
     # residual noise PSD |inv|^2 sigma^2 -> average std for the core
     sigma_eff = sigma * jnp.sqrt(jnp.mean(jnp.abs(inv) ** 2))
     return core.bm3d(zi, sigma_eff, profile, prefilter=False)
+
+
+def estimate_parameters_for_psd(psd: np.ndarray):
+    """Auto-select (lambda_thr3d, mu2, lambda_re, mu2_re) from a PSD.
+
+    Reference ``_estimate_parameters_for_psd`` (``__init__.py:633-717``)
+    matches the PSD against a 500-sample feature database. The golden
+    behavior for (near-)white PSDs — the only kind the MRI pipelines use —
+    is fixed constants (reference golden test
+    ``bm3d307/tests/psd_resizing_and_parameters.py:16-71``):
+    lambda=3.0, mu2=0.4, lambda_re=2.5, mu2_re=3.6. Strongly colored PSDs
+    are rejected explicitly rather than silently mis-parameterized.
+    """
+    psd = np.asarray(psd, np.float64)
+    flatness = float(psd.std() / (psd.mean() + 1e-12))
+    if flatness < 0.1:
+        return 3.0, 0.4, 2.5, 3.6
+    raise NotImplementedError(
+        f"colored-PSD parameter matching not implemented (PSD flatness "
+        f"{flatness:.3f}); the MRI pipelines use white PSDs. Pass explicit "
+        "lambda_thr3d/mu2 via BM3DProfile for colored noise."
+    )

@@ -112,3 +112,19 @@ class TestDeblurring:
             return 10 * np.log10(1.0 / np.mean((a - b) ** 2))
 
         assert psnr(y, x) > psnr(z, x) + 2.0, (psnr(y, x), psnr(z, x))
+
+
+class TestParameterEstimation:
+    def test_white_psd_golden_values(self):
+        """Reference golden (psd_resizing_and_parameters.py): any white PSD
+        yields lambda=3.0, mu2=0.4, lambda_re=2.5, mu2_re=3.6."""
+        for shape in [(65, 65), (256, 256), (50, 50)]:
+            psd = np.full(shape, 0.02 * shape[0] * shape[1])
+            lam, mu2, lam_re, mu2_re = api.estimate_parameters_for_psd(psd)
+            assert (lam, mu2, lam_re, mu2_re) == (3.0, 0.4, 2.5, 3.6)
+
+    def test_colored_psd_rejected_explicitly(self):
+        xx, yy = np.meshgrid(np.arange(64), np.arange(64))
+        psd = 1.0 / (1.0 + xx**2 + yy**2)
+        with pytest.raises(NotImplementedError):
+            api.estimate_parameters_for_psd(psd)

@@ -109,3 +109,25 @@ class TestBM3DPipelinesGolden:
         )
         assert abs(out["psnr"] - 26.868) < 0.15, out
         assert abs(out["ssim"] - 0.7171) < 0.02, out
+
+
+@requires_reference_data
+@pytest.mark.parametrize(
+    "algo,psnr,ssim,re",
+    [
+        # Verified by executing the reference scripts over the FULL
+        # 15-image testsets/set (patched testset_name; Random30, defaults):
+        ("admm_l1", 24.256, 0.5633, 0.1981),
+        ("admm_cnc", 24.765, 0.4958, 0.1873),
+    ],
+)
+def test_classical_golden_full_set(algo, psnr, ssim, re):
+    from pnp_admm_cnc_mri_tpu.cli import experiments
+
+    out = experiments.run_classical(
+        algo, testset="set", mask_name="Q_Random30",
+        results_dir="/tmp/pnpadmm_test_results", save_images=False,
+    )
+    assert abs(out["psnr"] - psnr) < 0.01, out
+    assert abs(out["ssim"] - ssim) < 1e-3, out
+    assert abs(out["re"] - re) < 1e-3, out
