@@ -96,7 +96,7 @@ def main(argv=None) -> int:
         # reference masks (new capability; no reference counterpart).
         import numpy as np
 
-        from pnp_admm_cnc_mri_tpu.cli.experiments import prepare_batch, score_and_log
+        from pnp_admm_cnc_mri_tpu.cli.experiments import score_and_log
         from pnp_admm_cnc_mri_tpu.data import images as images_mod, masks as masks_mod, noise as noise_mod
         from pnp_admm_cnc_mri_tpu.parallel import consensus
 

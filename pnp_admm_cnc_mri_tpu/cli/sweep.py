@@ -71,7 +71,6 @@ def main(argv=None) -> int:
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     from pnp_admm_cnc_mri_tpu import config as cfg_mod
-    from pnp_admm_cnc_mri_tpu.cli import experiments
     from pnp_admm_cnc_mri_tpu.data import images, masks as masks_mod, noise as noise_mod
     from pnp_admm_cnc_mri_tpu.ops import metrics as metrics_mod
     from pnp_admm_cnc_mri_tpu.parallel import mesh as mesh_lib

@@ -13,8 +13,6 @@ TPU-idiomatic choices (vs the reference's PyTorch NCHW modules in
 
 from __future__ import annotations
 
-from typing import Sequence
-
 import flax.linen as nn
 import jax.numpy as jnp
 

@@ -19,7 +19,6 @@ from __future__ import annotations
 from typing import Sequence
 
 import flax.linen as nn
-import jax.numpy as jnp
 
 from pnp_admm_cnc_mri_tpu.models.blocks import ConvBlock
 

@@ -13,7 +13,7 @@ At 256x256 the reference wraps the forward in a recursive quad-split tiler
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Tuple
 
 import flax.linen as nn
 

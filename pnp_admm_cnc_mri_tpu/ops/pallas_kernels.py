@@ -18,7 +18,6 @@ tile-unfriendly shapes; numerical equivalence is tested either way.
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp

@@ -20,7 +20,6 @@ deblurring forward models of the DPIR family.
 from __future__ import annotations
 
 import jax.numpy as jnp
-import numpy as np
 
 
 def psf2otf(psf: jnp.ndarray, shape) -> jnp.ndarray:

@@ -16,8 +16,6 @@ mask blend is pointwise), so one iteration costs exactly two all_to_alls
 
 from __future__ import annotations
 
-from typing import Callable
-
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P

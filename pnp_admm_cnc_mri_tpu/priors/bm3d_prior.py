@@ -11,7 +11,7 @@ jitted fixed-point loop as the rest of the iteration.
 
 from __future__ import annotations
 
-from typing import Callable, Optional
+from typing import Callable
 
 import jax
 import jax.numpy as jnp

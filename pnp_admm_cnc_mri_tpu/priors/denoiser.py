@@ -22,7 +22,7 @@ the batch shape — no host round trips anywhere.
 from __future__ import annotations
 
 import functools
-from typing import Any, Callable, Optional
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
