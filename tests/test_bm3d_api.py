@@ -128,3 +128,35 @@ class TestParameterEstimation:
         psd = 1.0 / (1.0 + xx**2 + yy**2)
         with pytest.raises(NotImplementedError):
             api.estimate_parameters_for_psd(psd)
+
+
+class TestRefilter:
+    def test_refilter_runs_and_preserves_quality(self, noisy_pair):
+        x, z, sigma = noisy_pair
+
+        def psnr(a, b):
+            return 10 * np.log10(1.0 / np.mean((np.asarray(a) - b) ** 2))
+
+        base = core.bm3d(jnp.asarray(z), sigma)
+        refit = api.bm3d_refilter(jnp.asarray(z), sigma)
+        assert psnr(refit, x) > psnr(base, x) - 0.5, (psnr(refit, x), psnr(base, x))
+
+    def test_residual_mask_detects_structure(self, rng):
+        """A strong sinusoid left in the residual must be detected/returned."""
+        h = 64
+        xx, yy = np.meshgrid(np.arange(h), np.arange(h))
+        leftover = 0.2 * np.sin(2 * np.pi * 6 * xx / h)
+        z = jnp.asarray((0.5 + leftover + 0.01 * rng.standard_normal((h, h))).astype(np.float32))
+        y_hat = jnp.asarray(np.full((h, h), 0.5, np.float32))
+        remains, sig_re = api.get_filtered_residual(z, y_hat, 0.01)
+        # the sinusoid's energy must be recovered in `remains`
+        corr = float(np.corrcoef(np.asarray(remains).ravel(), leftover.ravel())[0, 1])
+        assert corr > 0.95, corr
+
+    def test_clean_residual_keeps_nothing(self, rng):
+        h = 64
+        z = jnp.asarray((0.5 + 0.05 * rng.standard_normal((h, h))).astype(np.float32))
+        y_hat = z  # perfect estimate -> zero residual
+        remains, sig_re = api.get_filtered_residual(z, y_hat, 0.05)
+        assert float(jnp.abs(remains).max()) < 1e-6
+        assert float(sig_re) < 1e-6
