@@ -160,3 +160,51 @@ class TestRefilter:
         remains, sig_re = api.get_filtered_residual(z, y_hat, 0.05)
         assert float(jnp.abs(remains).max()) < 1e-6
         assert float(sig_re) < 1e-6
+
+
+class TestPSDParameterMatching:
+    """Full feature-matching parameter estimation vs the reference oracle.
+
+    Golden tuples below were produced by EXECUTING the reference
+    ``_estimate_parameters_for_psd`` on the same PSDs in this environment
+    (exact match to 4 decimals)."""
+
+    GOLDEN = {
+        "white": (3.4032, 0.9861, 4.4249, 0.9669),
+        "lowpass": (3.4453, 1.0104, 4.4960, 1.0049),
+        "aniso": (3.4122, 1.0435, 4.4959, 0.8575),
+        "ring": (3.4405, 1.0217, 4.4227, 0.8125),
+    }
+
+    @staticmethod
+    def _psds():
+        xx, yy = np.meshgrid(np.arange(65) - 32, np.arange(65) - 32)
+        return {
+            "white": np.full((65, 65), 10.0),
+            "lowpass": 100.0 / (1.0 + 0.05 * (xx**2 + yy**2)),
+            "aniso": 100.0 * np.exp(-(xx**2 / 200 + yy**2 / 20)),
+            "ring": 50.0 * np.exp(-((np.sqrt(xx**2 + yy**2) - 15) ** 2) / 30) + 1.0,
+        }
+
+    def test_matches_reference_oracle_goldens(self):
+        from pnp_admm_cnc_mri_tpu.priors.bm3d import psd_params
+
+        if psd_params._load_db() is None:
+            pytest.skip("param_matching_data.mat unavailable")
+        for name, psd in self._psds().items():
+            got = psd_params.estimate_parameters_for_psd(np.fft.ifftshift(psd))
+            np.testing.assert_allclose(got, self.GOLDEN[name], atol=2e-3, err_msg=name)
+
+    def test_fallback_without_db(self, tmp_path):
+        from pnp_admm_cnc_mri_tpu.priors.bm3d import psd_params
+
+        # flat PSD -> white constants even with no database
+        out = psd_params.estimate_parameters_for_psd(
+            np.full((65, 65), 3.0), db_path=str(tmp_path / "missing.mat")
+        )
+        assert out == (3.0, 0.4, 2.5, 3.6)
+        with pytest.raises(FileNotFoundError):
+            xx, yy = np.meshgrid(np.arange(65), np.arange(65))
+            psd_params.estimate_parameters_for_psd(
+                1.0 / (1 + xx + yy), db_path=str(tmp_path / "missing.mat")
+            )
