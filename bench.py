@@ -35,6 +35,8 @@ SHAPE = (256, 256)
 
 
 def _measure(batch: int, force_cpu: bool) -> float:
+    import functools
+
     import jax
 
     if force_cpu:
@@ -43,36 +45,35 @@ def _measure(batch: int, force_cpu: bool) -> float:
     import jax.numpy as jnp
 
     from pnp_admm_cnc_mri_tpu.config import ADMMConfig
-    from pnp_admm_cnc_mri_tpu.data import masks, noise
     from pnp_admm_cnc_mri_tpu.solvers import admm
 
-    try:
-        mask = masks.load_mask("Q_Random30")
-        kn = noise.load_noise()
-    except Exception:
-        mask = masks.random_mask(SHAPE, 0.3, seed=0)
-        kn = noise.synth_noise(SHAPE, std=10.0, seed=0)
-
-    rng = np.random.default_rng(0)
-    imgs = rng.random((batch, *SHAPE))
-    y = (np.fft.fft2(imgs, axes=(-2, -1)) * mask + kn).astype(np.complex64)
-
-    y_d = jnp.asarray(y)
-    mask_d = jnp.asarray(mask, dtype=jnp.float32)
     cfg = ADMMConfig(iter_num=ITER_NUM, lam=0.1, rho=0.015)
+    h, w = SHAPE
 
-    @jax.jit
-    def solve(y, m):
-        final, _ = admm.admm_l1(y, m, cfg, dtype=jnp.float32)
+    # Data is synthesized ON DEVICE: MB-scale host->device transfers stall
+    # through the axon tunnel, and the solve's FLOP/bandwidth profile is
+    # identical for a random 30% mask vs the reference mask asset. Only
+    # the PRNG key (8 bytes) and the result scalar cross the tunnel.
+    @functools.partial(jax.jit, static_argnames=("b",))
+    def make_and_solve(key, b):
+        k1, k2, k3 = jax.random.split(key, 3)
+        imgs = jax.random.uniform(k1, (b, h, w), jnp.float32)
+        mask = (jax.random.uniform(k2, (h, w)) < 0.3).astype(jnp.float32)
+        noise = 3.0 * (
+            jax.random.normal(k3, (h, w))
+            + 1j * jax.random.normal(jax.random.fold_in(k3, 1), (h, w))
+        ).astype(jnp.complex64)
+        y = (jnp.fft.fft2(imgs, axes=(-2, -1)) * mask + noise).astype(jnp.complex64)
+        final, _ = admm.admm_l1(y, mask, cfg, dtype=jnp.float32)
         # Reduce on device; fetching this scalar forces full execution.
         return jnp.mean(final.x)
 
-    float(solve(y_d, mask_d))  # compile + warmup
+    float(make_and_solve(jax.random.PRNGKey(0), b=batch))  # compile + warmup
 
     times = []
-    for _ in range(5):
+    for i in range(5):
         t0 = time.perf_counter()
-        float(solve(y_d, mask_d))
+        float(make_and_solve(jax.random.PRNGKey(i + 1), b=batch))
         times.append(time.perf_counter() - t0)
     dt = min(times)
     return batch * ITER_NUM / dt
