@@ -66,6 +66,47 @@ def data_term_gradient(
     return ifft2(res)
 
 
+def make_rfft_data_consistency(y: jnp.ndarray, mask: jnp.ndarray, rho):
+    """Half-spectrum (rfft) data-consistency solve — 2x less FFT work.
+
+    The reference's x-update is ``x = |real(ifft2(F))|`` with
+    ``F = where(m, (La2 V + y)/(1+La2), V)`` and ``V = fft2(v)`` of a REAL
+    v. Since only the real part survives, only the Hermitian part of F
+    matters:  H(k) = (F(k) + conj(F(-k)))/2. Expanding with V Hermitian
+    (v real) gives a closed form on the rfft half-grid:
+
+        H = A .* V_half + C,
+        A = (2 - m - m~)/2 + La2 (m + m~) / (2 (1 + La2))        (real)
+        C = (m .* y + m~ .* conj(y(-k))) / (2 (1 + La2))         (complex)
+
+    with ``m~(k) = m(-k)``. A and C are precomputed once; every iteration
+    is then rfft2 -> one fused multiply-add -> irfft2 — exactly half the
+    FFT flops and memory traffic of the full-spectrum path, bit-equal in
+    exact arithmetic (tested to f64 precision).
+
+    Returns ``dc(v) -> x`` for real v of shape (..., H, W).
+    """
+    h, w = mask.shape[-2:]
+    la2 = 1.0 / (2.0 * rho)
+    m = mask
+    m_neg = jnp.roll(jnp.flip(m, axis=(-2, -1)), shift=(1, 1), axis=(-2, -1))
+    y_neg_conj = jnp.conj(
+        jnp.roll(jnp.flip(y, axis=(-2, -1)), shift=(1, 1), axis=(-2, -1))
+    )
+    half = w // 2 + 1
+    a_full = (2.0 - m - m_neg) / 2.0 + la2 * (m + m_neg) / (2.0 * (1.0 + la2))
+    c_full = (m * y + m_neg * y_neg_conj) / (2.0 * (1.0 + la2))
+    a_half = a_full[..., :half]
+    c_half = c_full[..., :half]
+
+    def dc(v: jnp.ndarray) -> jnp.ndarray:
+        vf = jnp.fft.rfft2(v, axes=(-2, -1))
+        hf = a_half * vf + c_half
+        return jnp.abs(jnp.fft.irfft2(hf, s=(h, w), axes=(-2, -1)))
+
+    return dc
+
+
 def data_consistency(
     v: jnp.ndarray,
     y: jnp.ndarray,

@@ -59,14 +59,20 @@ def admm_step(
     z_update: ZUpdate,
     clamp: bool = False,
     tail=None,
+    dc=None,
 ) -> ADMMState:
     """One ADMM iteration; ``clamp`` reproduces the CNN-variant [0,1] clamp
     of x, z and the dual w (reference ``【3】PNP_ADMM_L1_D  .py:294-296``).
 
     ``tail(i, x, z, w) -> (z_new, w_new)`` optionally replaces the separate
     z-update + dual ascent with a fused implementation (Pallas kernel for
-    the classical priors, ``ops/pallas_kernels.py``)."""
-    x = fourier.data_consistency(state.z - state.w, y, mask, rho)
+    the classical priors, ``ops/pallas_kernels.py``); ``dc`` an optional
+    precomputed data-consistency solve (the rfft half-spectrum fast path,
+    ``fourier.make_rfft_data_consistency``)."""
+    if dc is not None:
+        x = dc(state.z - state.w)
+    else:
+        x = fourier.data_consistency(state.z - state.w, y, mask, rho)
     x = x.astype(state.z.dtype)
     if tail is not None:
         z, w = tail(i, x, state.z, state.w)
@@ -88,8 +94,13 @@ def run_admm(
     dtype=jnp.float32,
     collect_residuals: bool = False,
     tail=None,
+    use_rfft: bool = True,
 ):
     """Run ``iter_num`` fixed iterations as one ``lax.scan``.
+
+    ``use_rfft`` enables the half-spectrum data-consistency fast path
+    (identical math, half the FFT work; see
+    ``fourier.make_rfft_data_consistency``).
 
     Returns ``(final_state, residuals)`` where residuals (if requested) is
     the per-iteration primal residual norm ``||x - z||_F`` per batch element
@@ -97,9 +108,10 @@ def run_admm(
     reference never monitors convergence).
     """
     state = init_state(y, dtype)
+    dc = fourier.make_rfft_data_consistency(y, mask, rho) if use_rfft else None
 
     def step(state, i):
-        new = admm_step(state, i, y, mask, rho, z_update, clamp, tail=tail)
+        new = admm_step(state, i, y, mask, rho, z_update, clamp, tail=tail, dc=dc)
         out = None
         if collect_residuals:
             out = jnp.sqrt(jnp.sum((new.x - new.z) ** 2, axis=(-2, -1)))
