@@ -48,7 +48,10 @@ def build_grid(imgs01, masks_dict, sigma_scales, base_noise):
 
 def main(argv=None) -> int:
     p = argparse.ArgumentParser()
-    p.add_argument("--algo", default="admm_l1", choices=["admm_l1", "admm_cnc"])
+    p.add_argument("--algo", default="admm_l1",
+                   choices=["admm_l1", "admm_cnc", "pnp_l1_d", "pnp_cnc_d"])
+    p.add_argument("--model", default="dncnn_25")
+    p.add_argument("--weights", default=None)
     p.add_argument("--testset", default="set")
     p.add_argument("--masks", default="all")
     p.add_argument("--sigmas", default="1.0", help="comma list of noise scales")
@@ -98,15 +101,42 @@ def main(argv=None) -> int:
     ys_p, true_n = mesh_lib.pad_to_multiple(ys, n_dev)
     ms_p, _ = mesh_lib.pad_to_multiple(ms, n_dev)
 
-    cfg = (
-        cfg_mod.ADMM_L1_DEFAULT if args.algo == "admm_l1" else cfg_mod.ADMM_CNC_DEFAULT
-    )
-    cfg = type(cfg)(**{**cfg.__dict__, "iter_num": args.iter_num})
-    solver = {"admm_l1": admm.admm_l1, "admm_cnc": admm.admm_cnc}[args.algo]
+    if args.algo in ("admm_l1", "admm_cnc"):
+        cfg = (
+            cfg_mod.ADMM_L1_DEFAULT if args.algo == "admm_l1" else cfg_mod.ADMM_CNC_DEFAULT
+        )
+        cfg = type(cfg)(**{**cfg.__dict__, "iter_num": args.iter_num})
+        solver = {"admm_l1": admm.admm_l1, "admm_cnc": admm.admm_cnc}[args.algo]
+
+        def run(y, m):
+            return solver(y, m, cfg, dtype=jnp.float32, collect_residuals=True)
+
+    else:
+        from pnp_admm_cnc_mri_tpu.priors import denoiser as dn_mod
+
+        if args.algo == "pnp_l1_d":
+            it, rho = cfg_mod.PNP_L1_DEFAULTS.get(args.model, (50, 0.25))
+            cfg = cfg_mod.ADMMConfig(iter_num=args.iter_num or it, rho=rho)
+        else:
+            a, it, lam, rho, b = cfg_mod.PNP_CNC_DEFAULTS.get(
+                args.model, (0.9, 50, 0.2, 0.45, 0.3)
+            )
+            cfg = cfg_mod.ADMMConfig(iter_num=args.iter_num or it, lam=lam, rho=rho,
+                                     alpha=a, b=b)
+        denoise = dn_mod.build_denoiser(
+            args.model, weights=args.weights, iter_num=cfg.iter_num
+        )
+
+        def run(y, m):
+            if args.algo == "pnp_l1_d":
+                return admm.pnp_admm_l1(y, m, cfg, denoise, dtype=jnp.float32,
+                                        collect_residuals=True)
+            return admm.pnp_admm_cnc(y, m, cfg, denoise, dtype=jnp.float32,
+                                     collect_residuals=True)
 
     @jax.jit
     def solve(y, m):
-        final, res = solver(y, m, cfg, dtype=jnp.float32, collect_residuals=True)
+        final, res = run(y, m)
         # per-scenario relative primal residual at the last iteration
         xn = jnp.sqrt(jnp.sum(final.x**2, axis=(-2, -1))) + 1e-12
         rel = res[-1] / xn
