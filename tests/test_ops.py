@@ -135,3 +135,34 @@ class TestMetrics:
         assert batched.shape == (4,)
         for i in range(4):
             np.testing.assert_allclose(float(batched[i]), oracle.psnr_numpy(a[i], b[i]), rtol=1e-10)
+
+
+class TestRFFTDataConsistency:
+    @pytest.mark.parametrize("hw", [(32, 32), (33, 47), (32, 47), (33, 48)])
+    def test_exact_vs_full_spectrum(self, hw, rng):
+        """Half-spectrum solve must equal the full path to f64 precision,
+        including odd sizes (Nyquist handling)."""
+        h, w = hw
+        v = rng.random((h, w))
+        mask = (rng.random((h, w)) < 0.3).astype(np.float64)
+        y = np.fft.fft2(rng.random((h, w))) * mask + (
+            rng.normal(size=(h, w)) + 1j * rng.normal(size=(h, w))
+        )
+        want = np.asarray(
+            fourier.data_consistency(jnp.asarray(v), jnp.asarray(y), jnp.asarray(mask), 0.015)
+        )
+        dc = fourier.make_rfft_data_consistency(jnp.asarray(y), jnp.asarray(mask), 0.015)
+        got = np.asarray(dc(jnp.asarray(v)))
+        np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-13)
+
+    def test_batched(self, rng):
+        v = rng.random((3, 16, 16))
+        mask = (rng.random((16, 16)) < 0.4).astype(np.float64)
+        y = np.fft.fft2(rng.random((3, 16, 16)), axes=(-2, -1)) * mask + 0.5
+        dc = fourier.make_rfft_data_consistency(jnp.asarray(y), jnp.asarray(mask), 0.1)
+        got = dc(jnp.asarray(v))
+        for i in range(3):
+            single = fourier.data_consistency(
+                jnp.asarray(v[i]), jnp.asarray(y[i]), jnp.asarray(mask), 0.1
+            )
+            np.testing.assert_allclose(np.asarray(got[i]), np.asarray(single), rtol=1e-12)
