@@ -88,7 +88,11 @@ def make_rfft_data_consistency(y: jnp.ndarray, mask: jnp.ndarray, rho):
     """
     h, w = mask.shape[-2:]
     la2 = 1.0 / (2.0 * rho)
-    m = mask
+    # Match the full path's selection semantics exactly: sampled means
+    # mask != 0 (not mask-weighted), and y is only ever read at sampled
+    # entries (zero it elsewhere so NaN/garbage there cannot leak in).
+    m = (mask != 0).astype(y.real.dtype)
+    y = jnp.where(m != 0, y, 0.0)
     m_neg = jnp.roll(jnp.flip(m, axis=(-2, -1)), shift=(1, 1), axis=(-2, -1))
     y_neg_conj = jnp.conj(
         jnp.roll(jnp.flip(y, axis=(-2, -1)), shift=(1, 1), axis=(-2, -1))

@@ -24,6 +24,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from pnp_admm_cnc_mri_tpu.ops import prox
+
 
 FORCE_INTERPRET = False
 """Set True (tests) to run the Pallas path in interpreter mode on CPU."""
@@ -38,8 +40,10 @@ def _on_tpu() -> bool:
         return False
 
 
-def _soft(v, c):
-    return jnp.maximum(jnp.abs(v) - c, 0.0) * jnp.sign(v)
+# Inside kernel bodies we use prox.soft directly — it is pure jnp, which
+# Pallas lowers like any other VPU op, so there is exactly one definition
+# of the shrinkage math in the codebase.
+_soft = prox.soft
 
 
 # ---------------------------------------------------------------------------
@@ -64,7 +68,7 @@ def _tileable(shape) -> bool:
 def l1_tail(x: jnp.ndarray, z: jnp.ndarray, w: jnp.ndarray, c) -> tuple:
     """Fused L1 z/w/dual update; returns (z_new, w_new)."""
     if not (_on_tpu() and _tileable(x.shape)):
-        z_new = _soft(x + w, c)
+        z_new = prox.soft(x + w, c)
         w_new = w + x - z_new
         return z_new, w_new
 
@@ -115,9 +119,7 @@ def _cnc_tail_kernel(p_ref, x_ref, z_ref, w_ref, zo_ref, wo_ref):
 def cnc_tail(x, z, w, alpha, rho, lam, b) -> tuple:
     """Fused CNC z/w/dual update; returns (z_new, w_new)."""
     if not (_on_tpu() and _tileable(x.shape)):
-        s = _soft(z, 1.0 / b)
-        t = (1.0 - alpha) * z + alpha * (x + w) + alpha * rho * lam * b * (z - s)
-        z_new = _soft(t, alpha * rho * lam)
+        z_new = prox.cnc_update(z, x + w, alpha, rho, lam, b)
         w_new = w + x - z_new
         return z_new, w_new
 

@@ -44,17 +44,18 @@ def run_consensus(
     x0 = jnp.abs(fourier.zero_fill(ys)).astype(dtype)
     z0 = jnp.mean(x0, axis=0)
     w0 = jnp.zeros_like(x0)
+    dc = fourier.make_rfft_data_consistency(ys, masks, cfg.rho)
 
     def step(carry, i):
         z, w = carry
-        x = fourier.data_consistency(z[None] - w, ys, masks, cfg.rho).astype(dtype)
+        x = dc(z[None] - w).astype(dtype)
         v = jnp.mean(x + w, axis=0)
         z_new = z_prox(v, i)
         w_new = w + x - z_new[None]
         return (z_new, w_new), None
 
     (z, w), _ = jax.lax.scan(step, (z0, w0), jnp.arange(cfg.iter_num))
-    x = fourier.data_consistency(z[None] - w, ys, masks, cfg.rho).astype(dtype)
+    x = dc(z[None] - w).astype(dtype)
     return z, x
 
 
@@ -65,23 +66,27 @@ def run_consensus_sharded(
     mesh: Mesh,
     axis: str = "data",
     dtype=jnp.float32,
+    z_prox=None,
 ):
     """shard_map version: each device owns a slice of the observations; the
-    consensus mean is a ``lax.pmean`` collective over the mesh axis."""
-    n_total = ys.shape[0]
+    consensus mean is a ``lax.pmean`` collective over the mesh axis.
+    ``z_prox(v, i)`` is pluggable like in ``run_consensus`` (defaults to the
+    L1 soft-threshold)."""
+    if z_prox is None:
+        z_prox = lambda v, i: prox.soft(v, cfg.rho * cfg.lam)
 
     def local_solve(ys_l, masks_l):
         x0 = jnp.abs(fourier.zero_fill(ys_l)).astype(dtype)
         # global init: mean of |A^H y| across ALL shards
         z0 = jax.lax.pmean(jnp.mean(x0, axis=0), axis)
         w0 = jnp.zeros_like(x0)
+        dc = fourier.make_rfft_data_consistency(ys_l, masks_l, cfg.rho)
 
         def step(carry, i):
             z, w = carry
-            x = fourier.data_consistency(z[None] - w, ys_l, masks_l, cfg.rho)
-            x = x.astype(dtype)
+            x = dc(z[None] - w).astype(dtype)
             v = jax.lax.pmean(jnp.mean(x + w, axis=0), axis)
-            z_new = prox.soft(v, cfg.rho * cfg.lam)
+            z_new = z_prox(v, i)
             w_new = w + x - z_new[None]
             return (z_new, w_new), None
 

@@ -45,8 +45,11 @@ def make_mesh(
     return Mesh(arr, axis_names=("data", "space"))
 
 
-def shard_batch(x, mesh: Mesh, batch_axes: int = 1):
-    """Place an array with leading batch axes on the mesh's data axis."""
+def shard_batch(x, mesh: Mesh):
+    """Place an array on the mesh's ``data`` axis (leading axis sharded).
+
+    Multi-axis scenario grids should be flattened to one leading axis
+    first (e.g. ``x.reshape(-1, H, W)``)."""
     spec = P(*(("data",) + (None,) * (x.ndim - 1)))
     return jax.device_put(x, NamedSharding(mesh, spec))
 

@@ -114,7 +114,9 @@ def run_admm(
         new = admm_step(state, i, y, mask, rho, z_update, clamp, tail=tail, dc=dc)
         out = None
         if collect_residuals:
-            out = jnp.sqrt(jnp.sum((new.x - new.z) ** 2, axis=(-2, -1)))
+            from pnp_admm_cnc_mri_tpu.parallel import reductions
+
+            out = reductions.primal_residual_norm(new.x, new.z)
         return new, out
 
     final, res = jax.lax.scan(step, state, jnp.arange(iter_num))
@@ -130,6 +132,7 @@ def run_admm_tol(
     tol: float,
     clamp: bool = False,
     dtype=jnp.float32,
+    use_rfft: bool = True,
 ):
     """Tolerance-stopped variant (new capability; the reference always runs
     a fixed count, SURVEY.md §2.1 "Fixed iteration count").
@@ -137,12 +140,16 @@ def run_admm_tol(
     Runs until the worst-case relative primal residual
     ``max_batch ||x-z||/||x||`` drops below ``tol`` or ``iter_num`` is hit.
     Uses ``lax.while_loop`` with a static iteration cap, so it stays fully
-    on-device; returns ``(state, iterations_run)``.
+    on-device. NOTE the return contract differs from ``run_admm``:
+    returns ``(state, iterations_run)``.
     """
     state0 = init_state(y, dtype)
+    dc = fourier.make_rfft_data_consistency(y, mask, rho) if use_rfft else None
 
     def rel_residual(state):
-        num = jnp.sqrt(jnp.sum((state.x - state.z) ** 2, axis=(-2, -1)))
+        from pnp_admm_cnc_mri_tpu.parallel import reductions
+
+        num = reductions.primal_residual_norm(state.x, state.z)
         den = jnp.sqrt(jnp.sum(state.x**2, axis=(-2, -1))) + 1e-12
         return jnp.max(num / den)
 
@@ -152,7 +159,7 @@ def run_admm_tol(
 
     def body(carry):
         i, state, _ = carry
-        new = admm_step(state, i, y, mask, rho, z_update, clamp)
+        new = admm_step(state, i, y, mask, rho, z_update, clamp, dc=dc)
         return i + 1, new, rel_residual(new)
 
     i, state, _ = jax.lax.while_loop(
@@ -166,6 +173,18 @@ def run_admm_tol(
 # ---------------------------------------------------------------------------
 
 
+def _check_tol_kwargs(kw):
+    """Tolerance mode returns (state, iterations_run), not residual traces
+    — reject options it cannot honor instead of silently dropping them."""
+    bad = set(kw) - {"use_rfft"}
+    if bad:
+        raise ValueError(
+            f"options {sorted(bad)} are not supported with cfg.tol set "
+            "(tolerance mode returns (state, iterations_run); use "
+            "cfg.tol=None for residual collection)"
+        )
+
+
 def admm_l1(y, mask, cfg: ADMMConfig, dtype=jnp.float32, fused: bool = True, **kw):
     """ADMM-L1 (reference ``【1】ADMM_L1.py``): z = soft(x+w, rho*lam).
 
@@ -176,7 +195,9 @@ def admm_l1(y, mask, cfg: ADMMConfig, dtype=jnp.float32, fused: bool = True, **k
         return prox.soft(x + w, cfg.rho * cfg.lam)
 
     if cfg.tol is not None:
-        return run_admm_tol(y, mask, cfg.iter_num, cfg.rho, z_update, cfg.tol, dtype=dtype)
+        _check_tol_kwargs(kw)
+        return run_admm_tol(y, mask, cfg.iter_num, cfg.rho, z_update, cfg.tol,
+                            dtype=dtype, use_rfft=kw.get("use_rfft", True))
     tail = None
     if fused:
         from pnp_admm_cnc_mri_tpu.ops import pallas_kernels
@@ -192,7 +213,9 @@ def admm_cnc(y, mask, cfg: ADMMConfig, dtype=jnp.float32, fused: bool = True, **
         return prox.cnc_update(z, x + w, cfg.alpha, cfg.rho, cfg.lam, cfg.b)
 
     if cfg.tol is not None:
-        return run_admm_tol(y, mask, cfg.iter_num, cfg.rho, z_update, cfg.tol, dtype=dtype)
+        _check_tol_kwargs(kw)
+        return run_admm_tol(y, mask, cfg.iter_num, cfg.rho, z_update, cfg.tol,
+                            dtype=dtype, use_rfft=kw.get("use_rfft", True))
     tail = None
     if fused:
         from pnp_admm_cnc_mri_tpu.ops import pallas_kernels

@@ -43,10 +43,12 @@ def load_state(path: str) -> Tuple[ADMMState, int, Optional[ADMMConfig]]:
     return state, it, cfg
 
 
-def resume_admm(path: str, y, mask, z_update, clamp: bool = False):
+def resume_admm(path: str, y, mask, z_update, clamp: bool = False,
+                use_rfft: bool = True):
     """Continue a checkpointed run to its configured iteration count."""
     import jax.numpy as jnp
 
+    from pnp_admm_cnc_mri_tpu.ops import fourier
     from pnp_admm_cnc_mri_tpu.solvers import admm
 
     state, it, cfg = load_state(path)
@@ -56,8 +58,12 @@ def resume_admm(path: str, y, mask, z_update, clamp: bool = False):
     remaining = cfg.iter_num - it
     import jax
 
+    # use the same data-consistency path as run_admm so a resumed run is
+    # numerically identical to an uninterrupted one
+    dc = fourier.make_rfft_data_consistency(y, mask, cfg.rho) if use_rfft else None
+
     def step(s, i):
-        return admm.admm_step(s, i + it, y, mask, cfg.rho, z_update, clamp), None
+        return admm.admm_step(s, i + it, y, mask, cfg.rho, z_update, clamp, dc=dc), None
 
     final, _ = jax.lax.scan(step, state, jnp.arange(max(remaining, 0)))
     return final, cfg
