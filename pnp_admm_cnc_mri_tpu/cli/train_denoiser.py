@@ -27,6 +27,9 @@ def main(argv=None) -> int:
     p.add_argument("--patch", type=int, default=40)
     p.add_argument("--lr", type=float, default=1e-4)
     p.add_argument("--trainset", default=None, help="dir of training images")
+    p.add_argument("--exclude", default=None,
+                   help="comma list of image basenames to EXCLUDE from training "
+                        "(leakage-free evaluation, e.g. --exclude 05)")
     p.add_argument("--out", required=True)
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--nc", type=int, default=64)
@@ -49,7 +52,11 @@ def main(argv=None) -> int:
     from pnp_admm_cnc_mri_tpu.train import data as data_mod, trainer
 
     trainset = args.trainset or os.path.join(images.DEFAULT_TESTSETS, "set")
-    imgs01, _, _ = images.load_testset(trainset)
+    imgs01, _, names = images.load_testset(trainset)
+    if args.exclude:
+        skip = set(args.exclude.split(","))
+        keep = [i for i, n in enumerate(names) if n not in skip]
+        imgs01 = imgs01[keep]
     patches = data_mod.extract_patches(list(imgs01), patch=args.patch)
 
     conditioned = False
