@@ -19,3 +19,21 @@ round trips), the compute path never leaves the accelerator.
 __version__ = "0.1.0"
 
 from pnp_admm_cnc_mri_tpu import config  # noqa: F401
+from pnp_admm_cnc_mri_tpu.config import ADMMConfig  # noqa: F401
+
+
+def __getattr__(name):
+    """Lazy convenience exports (keep bare `import pnp_admm_cnc_mri_tpu`
+    light; jax-heavy modules load on first use)."""
+    import importlib
+
+    lazy = {
+        "solvers": "pnp_admm_cnc_mri_tpu.solvers",
+        "ops": "pnp_admm_cnc_mri_tpu.ops",
+        "data": "pnp_admm_cnc_mri_tpu.data",
+        "parallel": "pnp_admm_cnc_mri_tpu.parallel",
+        "native_rt": "pnp_admm_cnc_mri_tpu.native_rt",
+    }
+    if name in lazy:
+        return importlib.import_module(lazy[name])
+    raise AttributeError(name)
