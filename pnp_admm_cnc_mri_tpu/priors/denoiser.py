@@ -279,3 +279,30 @@ def _load_ircnn_stack(model, weights, allow_random, dtype):
     dummy = jnp.zeros((1, 64, 64, 1), dtype)
     one = model.init(rng, dummy)
     return jax.tree.map(lambda a: jnp.stack([a] * 25), one)
+
+
+def rescaled_denoiser(residual_denoise: Callable[[jnp.ndarray], jnp.ndarray],
+                      sigma: float) -> Callable[[jnp.ndarray], jnp.ndarray]:
+    """Min-max rescaling wrapper around a residual denoiser.
+
+    Reference ``utils/utils.py:20-47`` (``Denoisingstep``, the
+    Provable-PnP-style wrapper): normalize the iterate to [0,1], apply the
+    sigma-dependent scale ``1 + sigma/255/2`` (denoisers are trained on
+    "normalized image + noise"), subtract the predicted residual, and undo
+    the scaling. ``residual_denoise(x)`` returns the NOISE estimate (like
+    the raw DnCNN trunk), per the reference's ``x = xtilde - r``.
+    """
+    scale_range = 1.0 + sigma / 255.0 / 2.0
+    scale_shift = (1.0 - scale_range) / 2.0
+
+    def denoise(x: jnp.ndarray) -> jnp.ndarray:
+        mn = jnp.min(x, axis=(-2, -1), keepdims=True)
+        mx = jnp.max(x, axis=(-2, -1), keepdims=True)
+        xt = (x - mn) / (mx - mn)
+        xt = xt * scale_range + scale_shift
+        r = residual_denoise(xt)
+        out = xt - r
+        out = (out - scale_shift) / scale_range
+        return out * (mx - mn) + mn
+
+    return denoise

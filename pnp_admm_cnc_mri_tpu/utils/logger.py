@@ -33,6 +33,29 @@ def logger_info(logger_name: str, log_path: str = "default.log") -> logging.Logg
     return log
 
 
+class TeeLogger:
+    """stdout tee into a log file (reference ``utils_logger.logger_print``
+    ``:54-64``): everything printed also lands in the file."""
+
+    def __init__(self, log_path: str, stream=None):
+        import sys
+
+        os.makedirs(os.path.dirname(log_path) or ".", exist_ok=True)
+        self._file = open(log_path, "a")
+        self._stream = stream or sys.stdout
+
+    def write(self, msg: str) -> None:
+        self._stream.write(msg)
+        self._file.write(msg)
+
+    def flush(self) -> None:
+        self._stream.flush()
+        self._file.flush()
+
+    def close(self) -> None:
+        self._file.close()
+
+
 def append_record(jsonl_path: str, record: Dict[str, Any]) -> None:
     """Append one structured run record (timestamped) to a JSONL file."""
     record = dict(record)

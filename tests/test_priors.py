@@ -389,3 +389,26 @@ def test_pnp_drunet_x8_cycling_end_to_end_parity(rng):
         denoise, dtype=jnp.float32,
     )
     np.testing.assert_allclose(np.asarray(final.x), x, rtol=5e-3, atol=1e-3)
+
+
+def test_rescaled_denoiser_matches_reference_wrapper(rng):
+    """priors.denoiser.rescaled_denoiser vs a transcription of the
+    reference Denoisingstep (utils/utils.py:20-47)."""
+    x = rng.random((24, 24)) * 0.7 + 0.1
+    sigma = 15.0
+
+    def residual_np(v):  # pretend-residual model: 0.1 * blur-ish map
+        return 0.1 * np.tanh(v)
+
+    mintmp, maxtmp = x.min(), x.max()
+    xt = (x - mintmp) / (maxtmp - mintmp)
+    scale_range = 1.0 + sigma / 255.0 / 2.0
+    scale_shift = (1 - scale_range) / 2.0
+    xt = xt * scale_range + scale_shift
+    out = xt - residual_np(xt)
+    out = (out - scale_shift) / scale_range
+    want = out * (maxtmp - mintmp) + mintmp
+
+    den = dn.rescaled_denoiser(lambda v: 0.1 * jnp.tanh(v), sigma)
+    got = np.asarray(den(jnp.asarray(x)))
+    np.testing.assert_allclose(got, want, rtol=1e-12)
