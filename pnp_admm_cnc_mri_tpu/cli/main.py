@@ -49,7 +49,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--results_dir", default="results")
     p.add_argument("--no_save", action="store_true")
     p.add_argument("--x8", action="store_true",
-                   help="x8 dihedral augmentation for the denoiser prior")
+                   help="x8 dihedral augmentation for the denoiser prior "
+                        "(default ON for pnp_l1_d drunet, like the reference)")
+    p.add_argument("--no_x8", action="store_true", help="force x8 off")
     p.add_argument("--f64", action="store_true", help="float64 (CPU parity mode)")
     p.add_argument("--cpu", action="store_true", help="force CPU backend")
     return p
@@ -167,13 +169,18 @@ def main(argv=None) -> int:
             base = cfg_mod.ADMMConfig(iter_num=it, lam=lam, rho=rho, alpha=a, b=b)
         cfg = _merge_cfg(base, args)
 
+        # reference default: 【3】 runs drunet WITH per-iteration x8 cycling
+        # (x8=True survives only the drunet branch); 【6】 (CNC) runs x8=False
+        x8 = args.x8 or (args.algo == "pnp_l1_d" and "drunet" in args.model)
+        if args.no_x8:
+            x8 = False
         denoise = denoiser_mod.build_denoiser(
-            args.model, weights=args.weights, iter_num=cfg.iter_num, x8=args.x8
+            args.model, weights=args.weights, iter_num=cfg.iter_num, x8=x8
         )
         denoise2 = None
         if args.model2:
             denoise2 = denoiser_mod.build_denoiser(
-                args.model2, weights=args.weights2, iter_num=cfg.iter_num
+                args.model2, weights=args.weights2, iter_num=cfg.iter_num, x8=x8
             )
         out = experiments.run_pnp(
             denoise,

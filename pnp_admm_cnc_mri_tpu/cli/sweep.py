@@ -30,9 +30,9 @@ def build_grid(imgs01, masks_dict, sigma_scales, base_noise):
 
     ys, ms, idxs, labels = [], [], [], []
     mask_items = list(masks_dict.items())
+    fimg = np.fft.fft2(imgs01, axes=(-2, -1))
     for si, scale in enumerate(sigma_scales):
         for mname, mask in mask_items:
-            fimg = np.fft.fft2(imgs01, axes=(-2, -1))
             for ii in range(imgs01.shape[0]):
                 ys.append(fimg[ii] * mask + base_noise * scale)
                 ms.append(mask)
@@ -55,7 +55,8 @@ def main(argv=None) -> int:
     p.add_argument("--testset", default="set")
     p.add_argument("--masks", default="all")
     p.add_argument("--sigmas", default="1.0", help="comma list of noise scales")
-    p.add_argument("--iter_num", type=int, default=50)
+    p.add_argument("--iter_num", type=int, default=None,
+                   help="iterations (default: 50 classical, per-model PnP)")
     p.add_argument("--tol", type=float, default=1e-3,
                    help="residual tolerance for converged-fraction reporting")
     p.add_argument("--repeat", type=int, default=1,
@@ -105,7 +106,8 @@ def main(argv=None) -> int:
         cfg = (
             cfg_mod.ADMM_L1_DEFAULT if args.algo == "admm_l1" else cfg_mod.ADMM_CNC_DEFAULT
         )
-        cfg = type(cfg)(**{**cfg.__dict__, "iter_num": args.iter_num})
+        iters = args.iter_num if args.iter_num is not None else cfg.iter_num
+        cfg = type(cfg)(**{**cfg.__dict__, "iter_num": iters})
         solver = {"admm_l1": admm.admm_l1, "admm_cnc": admm.admm_cnc}[args.algo]
 
         def run(y, m):
@@ -116,12 +118,14 @@ def main(argv=None) -> int:
 
         if args.algo == "pnp_l1_d":
             it, rho = cfg_mod.PNP_L1_DEFAULTS.get(args.model, (50, 0.25))
-            cfg = cfg_mod.ADMMConfig(iter_num=args.iter_num or it, rho=rho)
+            iters = args.iter_num if args.iter_num is not None else it
+            cfg = cfg_mod.ADMMConfig(iter_num=iters, rho=rho)
         else:
             a, it, lam, rho, b = cfg_mod.PNP_CNC_DEFAULTS.get(
                 args.model, (0.9, 50, 0.2, 0.45, 0.3)
             )
-            cfg = cfg_mod.ADMMConfig(iter_num=args.iter_num or it, lam=lam, rho=rho,
+            iters = args.iter_num if args.iter_num is not None else it
+            cfg = cfg_mod.ADMMConfig(iter_num=iters, lam=lam, rho=rho,
                                      alpha=a, b=b)
         denoise = dn_mod.build_denoiser(
             args.model, weights=args.weights, iter_num=cfg.iter_num

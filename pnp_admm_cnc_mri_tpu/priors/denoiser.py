@@ -63,7 +63,18 @@ def _augment(x: jnp.ndarray, mode: int, axes=(-2, -1)) -> jnp.ndarray:
 
 
 def augment(x: jnp.ndarray, mode: jnp.ndarray, axes=(-2, -1)) -> jnp.ndarray:
-    """Traced-mode dihedral augment via lax.switch (square images)."""
+    """Traced-mode dihedral augment via lax.switch.
+
+    Square spatial dims only: all 8 branches must produce one static shape
+    (rot90 transposes H/W). Non-square images can still use the eager
+    ``x8_ensemble``; the per-iteration cycling path raises here with a
+    clear message instead of an opaque switch shape error."""
+    h, w = x.shape[axes[0]], x.shape[axes[1]]
+    if h != w:
+        raise ValueError(
+            f"traced dihedral augmentation needs square spatial dims, got "
+            f"{h}x{w}; pad to square or disable x8 cycling for this input"
+        )
     return jax.lax.switch(
         mode, [functools.partial(_augment, mode=m, axes=axes) for m in range(8)], x
     )
@@ -214,9 +225,19 @@ def build_denoiser(
                                   in_nc=2)
         use_x8 = bool(x8) if x8 is not None else False
 
+        def net(x2ch):
+            return model.apply(params, x2ch)
+
         def core(x, i):
-            sm = jnp.full_like(x, sigmas_d[i])
-            return model.apply(params, jnp.concatenate([x, sm], axis=-1))
+            # sigma map concatenated BEFORE tiling, then the reference's
+            # mode-2 tiler (refield=32, min_size=256, modulo=16 — a plain
+            # pad/forward at <=256x256, recursive quad-split above;
+            # reference ``【3】:43-44``)
+            from pnp_admm_cnc_mri_tpu.priors import tiling
+
+            sm = jnp.full_like(x[..., :1], sigmas_d[i])
+            x2 = jnp.concatenate([x, sm], axis=-1)
+            return tiling.quad_split(net, x2, refield=32, min_size=256, modulo=16)
 
         def denoise(v, i):
             x, restore = _as_nhwc(v)
@@ -298,11 +319,12 @@ def rescaled_denoiser(residual_denoise: Callable[[jnp.ndarray], jnp.ndarray],
     def denoise(x: jnp.ndarray) -> jnp.ndarray:
         mn = jnp.min(x, axis=(-2, -1), keepdims=True)
         mx = jnp.max(x, axis=(-2, -1), keepdims=True)
-        xt = (x - mn) / (mx - mn)
+        rng_ = jnp.where(mx > mn, mx - mn, 1.0)  # constant image -> identity
+        xt = (x - mn) / rng_
         xt = xt * scale_range + scale_shift
         r = residual_denoise(xt)
         out = xt - r
         out = (out - scale_shift) / scale_range
-        return out * (mx - mn) + mn
+        return out * rng_ + mn
 
     return denoise

@@ -65,6 +65,11 @@ def batches(
     """
     rng = np.random.default_rng(seed)
     n = patches.shape[0]
+    if n < batch_size:
+        raise ValueError(
+            f"only {n} patches available for batch_size={batch_size}; "
+            "use more/larger training images or a smaller batch"
+        )
     epoch = 0
     while epochs is None or epoch < epochs:
         order = rng.permutation(n)

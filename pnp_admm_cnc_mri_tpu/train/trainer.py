@@ -151,10 +151,10 @@ def train_denoiser(
 
     if mesh is not None:
         params = shard_params_tp(params, mesh)
-        opt_state = jax.tree.map(
-            lambda x: jax.device_put(x, NamedSharding(mesh, P())) if hasattr(x, "ndim") else x,
-            opt_state,
-        )
+        # re-init AFTER sharding: optax moments are tree_map(zeros_like,
+        # params) and inherit the tensor-parallel placement — force-
+        # replicating them would double memory and reshard every step
+        opt_state = optimizer.init(params)
 
     losses = []
     it = data_mod.batches(patches, batch_size, sigma, seed=seed)
