@@ -171,3 +171,33 @@ def estimate_parameters_for_psd(
     lam_re = interp(_LAMBDA_GRID, param_idxs[2])
     mu2_re = interp(_MU2_GRID, param_idxs[3])
     return lam, mu2, lam_re, mu2_re
+
+
+def shrink_and_normalize_psd(psd: np.ndarray, new_size: int = 65) -> np.ndarray:
+    """Image-size PSD -> canonical 65x65 PSD for parameter estimation.
+
+    Reference ``_get_kernel_from_psd:811-822`` + ``_shrink_and_normalize_
+    psd:825-841``: recover the correlation kernel
+    ``fftshift(real(ifft2(sqrt(P/(H W)))))``, crop its center to 65x65,
+    l2-normalize, and take ``|fft2|^2 * 65 * 65``. A flat (white) PSD of
+    ANY size and scale maps to the constant 65*65 — the normalization the
+    feature database was built with (the reference's own golden test:
+    white PSDs then estimate to exactly (3.0, 0.4, 2.5, 3.6)).
+    """
+    psd = np.asarray(psd, np.float64)
+    h, w = psd.shape[-2:]
+    sig = np.sqrt(psd / (h * w))
+    kernel = np.fft.fftshift(np.real(np.fft.ifft2(sig)))
+    ms = np.maximum(np.ceil((np.array([h, w]) - new_size) / 2).astype(int), 0)
+    k = kernel[ms[0]:ms[0] + new_size, ms[1]:ms[1] + new_size].copy()
+    k /= np.sqrt((k**2).sum())
+    return np.abs(np.fft.fft2(k, s=(new_size, new_size))) ** 2 * new_size * new_size
+
+
+def estimate_parameters_for_image_psd(
+    psd: np.ndarray, db_path: Optional[str] = None
+) -> Tuple[float, float, float, float]:
+    """Parameter auto-selection from an image-size PSD (any H, W):
+    canonical 65x65 normalization then feature matching. White PSDs of any
+    size/scale yield exactly (3.0, 0.4, 2.5, 3.6) like the reference."""
+    return estimate_parameters_for_psd(shrink_and_normalize_psd(psd), db_path)

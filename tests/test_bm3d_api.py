@@ -116,18 +116,29 @@ class TestDeblurring:
 
 class TestParameterEstimation:
     def test_white_psd_golden_values(self):
-        """Reference golden (psd_resizing_and_parameters.py): any white PSD
-        yields lambda=3.0, mu2=0.4, lambda_re=2.5, mu2_re=3.6."""
-        for shape in [(65, 65), (256, 256), (50, 50)]:
-            psd = np.full(shape, 0.02 * shape[0] * shape[1])
-            lam, mu2, lam_re, mu2_re = api.estimate_parameters_for_psd(psd)
-            assert (lam, mu2, lam_re, mu2_re) == (3.0, 0.4, 2.5, 3.6)
+        """Reference golden (psd_resizing_and_parameters.py): white PSDs of
+        any size, after the canonical shrink-and-normalize, estimate to
+        exactly lambda=3.0, mu2=0.4, lambda_re=2.5, mu2_re=3.6."""
+        from pnp_admm_cnc_mri_tpu.priors.bm3d import psd_params
 
-    def test_colored_psd_rejected_explicitly(self):
+        if psd_params._load_db() is None:
+            pytest.skip("param_matching_data.mat unavailable")
+        for shape in [(65, 65), (256, 256), (100, 80)]:
+            psd = np.full(shape, 0.02 * shape[0] * shape[1])
+            out = api.estimate_parameters_for_psd(psd)
+            np.testing.assert_allclose(out, (3.0, 0.4, 2.5, 3.6), atol=1e-6)
+
+    def test_colored_psd_estimates(self):
+        from pnp_admm_cnc_mri_tpu.priors.bm3d import psd_params
+
+        if psd_params._load_db() is None:
+            pytest.skip("param_matching_data.mat unavailable")
         xx, yy = np.meshgrid(np.arange(64), np.arange(64))
-        psd = 1.0 / (1.0 + xx**2 + yy**2)
-        with pytest.raises(NotImplementedError):
-            api.estimate_parameters_for_psd(psd)
+        psd = np.fft.ifftshift(100.0 / (1.0 + 0.05 * ((xx - 32) ** 2 + (yy - 32) ** 2)))
+        lam, mu2, lam_re, mu2_re = api.estimate_parameters_for_psd(psd)
+        # colored PSDs produce grid-interpolated values, not the constants
+        assert 2.5 <= lam <= 4.5 and 0.2 <= mu2 <= 4.2
+        assert (lam, mu2) != (3.0, 0.4)
 
 
 class TestRefilter:
