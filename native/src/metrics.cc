@@ -5,6 +5,7 @@
 // C++ oracle for the JAX metrics and a fast path for host-side scoring.
 
 #include <cmath>
+#include <limits>
 #include <cstddef>
 #include <vector>
 
@@ -36,8 +37,10 @@ double pnp_psnr(const double* a, const double* b, int h, int w, int border) {
       mse += d * d;
       ++count;
     }
+  if (count == 0) return 0.0;  // degenerate border: no pixels to score
   mse /= count;
-  if (mse == 0.0) return 1e9;
+  // identical images: reference returns float('inf')
+  if (mse == 0.0) return std::numeric_limits<double>::infinity();
   return 20.0 * std::log10(255.0 / std::sqrt(mse));
 }
 

@@ -113,6 +113,8 @@ bool decode_bmp_gray(const char* path, GrayImage* out) {
   const uint8_t* pal = buf.data() + 14 + hdr;  // BGRA palette entries
   size_t row_stride = ((static_cast<size_t>(w) * bpp + 31) / 32) * 4;
   if (data_off + row_stride * ah > static_cast<size_t>(sz)) return false;
+  // 8-bpp path dereferences up to 256 palette entries — bound them too
+  if (bpp == 8 && 14 + hdr + 256 * 4 > static_cast<size_t>(sz)) return false;
 
   out->h = ah;
   out->w = w;
@@ -192,13 +194,43 @@ bool decode_image_gray(const char* path, GrayImage* out) {
 
 extern "C" {
 
-// Query dimensions after modcrop. Returns 0 on success.
+// Query dimensions after modcrop. Decodes pixels only for formats whose
+// header parse is not separable here; PNG reads the header only.
 int pnp_png_dims(const char* path, int modcrop, int* h, int* w) {
-  GrayImage img;
-  if (!decode_image_gray(path, &img)) return -1;
+  int ih = 0, iw = 0;
+  FILE* probe = std::fopen(path, "rb");
+  if (!probe) return -1;
+  uint8_t magic[2] = {0, 0};
+  size_t got = std::fread(magic, 1, 2, probe);
+  std::fclose(probe);
+  if (got != 2) return -1;
+  if (magic[0] == 0x89 && magic[1] == 'P') {
+    // PNG: header-only read (no pixel decode)
+    FILE* fp = std::fopen(path, "rb");
+    if (!fp) return -1;
+    png_structp png =
+        png_create_read_struct(PNG_LIBPNG_VER_STRING, nullptr, nullptr, nullptr);
+    png_infop info = png ? png_create_info_struct(png) : nullptr;
+    if (!png || !info || setjmp(png_jmpbuf(png))) {
+      png_destroy_read_struct(&png, &info, nullptr);
+      std::fclose(fp);
+      return -1;
+    }
+    png_init_io(png, fp);
+    png_read_info(png, info);
+    ih = static_cast<int>(png_get_image_height(png, info));
+    iw = static_cast<int>(png_get_image_width(png, info));
+    png_destroy_read_struct(&png, &info, nullptr);
+    std::fclose(fp);
+  } else {
+    GrayImage img;
+    if (!decode_image_gray(path, &img)) return -1;
+    ih = img.h;
+    iw = img.w;
+  }
   int m = modcrop > 0 ? modcrop : 1;
-  *h = img.h - img.h % m;
-  *w = img.w - img.w % m;
+  *h = ih - ih % m;
+  *w = iw - iw % m;
   return 0;
 }
 

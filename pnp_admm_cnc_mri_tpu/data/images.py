@@ -15,7 +15,10 @@ from typing import List
 
 import numpy as np
 
-IMG_EXTENSIONS = (".png", ".jpg", ".jpeg", ".bmp", ".tif")
+IMG_EXTENSIONS = (
+    ".png", ".jpg", ".jpeg", ".bmp", ".tif", ".ppm",
+    ".PNG", ".JPG", ".JPEG", ".BMP", ".TIF",
+)  # reference utils_image.py:22 accepts both cases
 
 DEFAULT_TESTSETS = os.environ.get("PNPADMM_TESTSETS", "/root/reference/testsets")
 

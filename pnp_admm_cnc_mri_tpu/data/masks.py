@@ -105,9 +105,12 @@ def radial_mask(shape: tuple[int, int], n_spokes: int = 60) -> np.ndarray:
     ts = np.linspace(-1.0, 1.0, 4 * max(h, w))
     for s in range(n_spokes):
         theta = s * golden
-        ys = np.clip(np.round(cy + ts * radius * np.sin(theta)).astype(int), 0, h - 1)
-        xs = np.clip(np.round(cx + ts * radius * np.cos(theta)).astype(int), 0, w - 1)
-        mask[ys, xs] = 1.0
+        ys = np.round(cy + ts * radius * np.sin(theta)).astype(int)
+        xs = np.round(cx + ts * radius * np.cos(theta)).astype(int)
+        # drop points outside the image — clipping would smear spurious
+        # runs of samples along the borders where spokes exit obliquely
+        keep = (ys >= 0) & (ys < h) & (xs >= 0) & (xs < w)
+        mask[ys[keep], xs[keep]] = 1.0
     # shift DC from center to corner to match the reference convention
     return np.fft.ifftshift(mask)
 

@@ -101,7 +101,11 @@ def _dptr(a: np.ndarray):
 def load_png_batch(
     paths: Sequence[str], modcrop: int = 8, n_threads: int = 0
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """Threaded batch load: returns (imgs01 float32 [0,1], imgs255 float32)."""
+    """Threaded batch load: returns (imgs01 float32 [0,1], imgs255 float32).
+
+    All images must share the first image's post-modcrop size."""
+    if not paths:
+        raise ValueError("load_png_batch: empty path list")
     l = lib()
     h = ctypes.c_int()
     w = ctypes.c_int()
@@ -114,7 +118,11 @@ def load_png_batch(
     rc = l.pnp_load_png_batch(arr, n, h.value, w.value, modcrop, _fptr(out01),
                               _fptr(out255), n_threads)
     if rc != 0:
-        raise IOError(f"failed to load {paths[rc - 1]}")
+        raise IOError(
+            f"failed to load {paths[rc - 1]} (decode error, or its "
+            f"post-modcrop size differs from the first image's "
+            f"{h.value}x{w.value})"
+        )
     return out01, out255
 
 
@@ -136,26 +144,36 @@ def mat_read(path: str, name: str) -> np.ndarray:
     return re + 1j * im if im is not None else re
 
 
-def psnr(a: np.ndarray, b: np.ndarray, border: int = 0) -> float:
+def _metric_pair(a, b):
     a = np.ascontiguousarray(a, np.float64)
     b = np.ascontiguousarray(b, np.float64)
+    if a.ndim != 2 or b.ndim != 2:
+        raise ValueError(f"native metrics take single (H, W) images, got "
+                         f"{a.shape} vs {b.shape}; use ops.metrics for batches")
+    if a.shape != b.shape:
+        raise ValueError(f"shape mismatch: {a.shape} vs {b.shape}")
+    return a, b
+
+
+def psnr(a: np.ndarray, b: np.ndarray, border: int = 0) -> float:
+    a, b = _metric_pair(a, b)
     return float(lib().pnp_psnr(_dptr(a), _dptr(b), a.shape[0], a.shape[1], border))
 
 
 def ssim(a: np.ndarray, b: np.ndarray, border: int = 0) -> float:
-    a = np.ascontiguousarray(a, np.float64)
-    b = np.ascontiguousarray(b, np.float64)
+    a, b = _metric_pair(a, b)
     return float(lib().pnp_ssim(_dptr(a), _dptr(b), a.shape[0], a.shape[1], border))
 
 
 def relative_error(a: np.ndarray, b: np.ndarray, border: int = 0) -> float:
-    a = np.ascontiguousarray(a, np.float64)
-    b = np.ascontiguousarray(b, np.float64)
+    a, b = _metric_pair(a, b)
     return float(lib().pnp_re(_dptr(a), _dptr(b), a.shape[0], a.shape[1], border))
 
 
 def bm3d(z: np.ndarray, sigma: float, stages: str = "all", n_threads: int = 0) -> np.ndarray:
     """C++ BM3D (CPU fallback/oracle for the TPU path)."""
+    if stages not in ("all", "ht"):
+        raise ValueError(f"stages must be 'all' or 'ht', got {stages!r}")
     z = np.ascontiguousarray(z, np.float32)
     out = np.empty_like(z)
     rc = lib().pnp_bm3d(_fptr(z), z.shape[0], z.shape[1], float(sigma),

@@ -19,6 +19,10 @@ from pnp_admm_cnc_mri_tpu.solvers.admm import ADMMState
 
 
 def save_state(path: str, state: ADMMState, iteration: int, cfg: Optional[ADMMConfig] = None) -> None:
+    if not path.endswith(".npz"):
+        # np.savez appends '.npz' to other suffixes, which would break the
+        # save/load round trip under the caller's original path
+        raise ValueError(f"checkpoint path must end in .npz, got {path!r}")
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     payload = {
         "x": np.asarray(state.x),

@@ -18,7 +18,7 @@ from typing import Any, Dict
 def logger_info(logger_name: str, log_path: str = "default.log") -> logging.Logger:
     """Create/fetch a named logger with file + stream handlers."""
     log = logging.getLogger(logger_name)
-    if log.hasHandlers():
+    if log.handlers:  # own handlers only — hasHandlers() also sees root's
         return log
     level = logging.INFO
     formatter = logging.Formatter("%(asctime)s.%(msecs)03d : %(message)s", "%y-%m-%d %H:%M:%S")
