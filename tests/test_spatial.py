@@ -64,3 +64,52 @@ class TestSpatialADMM:
             jnp.asarray(y), jnp.asarray(mask, jnp.float32), cfg, fused=False
         )
         np.testing.assert_allclose(x_spatial, np.asarray(final.x), rtol=1e-4, atol=1e-4)
+
+
+class TestCombinedMesh:
+    def test_batched_and_spatially_sharded(self, rng):
+        """2-D (data, space) mesh: batch sharded over data AND each image's
+        H axis sharded over space simultaneously."""
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 devices")
+        mesh = mesh_lib.make_mesh(n_data=2, n_space=4, devices=jax.devices()[:8])
+
+        imgs = rng.random((4, 32, 64))
+        mask = (rng.random((32, 64)) < 0.3).astype(np.float64)
+        noise = 0.3 * (rng.normal(size=(32, 64)) + 1j * rng.normal(size=(32, 64)))
+        y = (np.fft.fft2(imgs, axes=(-2, -1)) * mask + noise).astype(np.complex64)
+        cfg = ADMMConfig(iter_num=10, lam=0.1, rho=0.015)
+
+        def local(y_l, m_l):
+            # y_l: (B/2, H, W/4) spectrum-layout shard on each device
+            from pnp_admm_cnc_mri_tpu.ops import prox
+
+            la2 = 1.0 / (2.0 * cfg.rho)
+            x0 = jnp.abs(spatial.ifft2_cols_to_rows(y_l, "space")).astype(jnp.float32)
+            z, w = x0, jnp.zeros_like(x0)
+            x = x0
+            for _ in range(cfg.iter_num):
+                vf = spatial.fft2_rows_to_cols((z - w).astype(jnp.float32), "space")
+                blended = (la2 * vf + y_l) / (1.0 + la2)
+                xf = jnp.where(m_l != 0, blended, vf)
+                x = jnp.abs(jnp.real(spatial.ifft2_cols_to_rows(xf, "space"))).astype(jnp.float32)
+                z = prox.soft(x + w, cfg.rho * cfg.lam)
+                w = w + x - z
+            return x
+
+        f = jax.shard_map(
+            local, mesh=mesh,
+            in_specs=(P("data", None, "space"), P(None, "space")),
+            out_specs=P("data", "space", None),
+        )
+        from jax.sharding import NamedSharding
+
+        y_d = jax.device_put(jnp.asarray(y), NamedSharding(mesh, P("data", None, "space")))
+        m_d = jax.device_put(jnp.asarray(mask, jnp.float32), NamedSharding(mesh, P(None, "space")))
+        x_sh = np.asarray(f(y_d, m_d))
+
+        final, _ = admm.admm_l1(
+            jnp.asarray(y), jnp.asarray(mask, jnp.float32), cfg, fused=False,
+            use_rfft=False,
+        )
+        np.testing.assert_allclose(x_sh, np.asarray(final.x), rtol=1e-4, atol=1e-4)
