@@ -1,13 +1,14 @@
 """Golden end-to-end parity against the reference implementation.
 
-The Random30 rows were verified by executing the reference scripts
-themselves (copied to a scratch dir): ``【1】ADMM_L1.py`` with defaults
-(iter=50, lambda1=0.1, reo=0.015) logs ``05.png - PSNR: 23.87 dB; SSIM:
-0.5877 ; RE: 0.2028`` and ``【4】ADMM_CNC .py`` (alpha=0.45, iter=50,
-lambda1=0.5, reo=0.05, b=64) logs ``PSNR: 24.5765, SSIM: 0.5600, RE:
-0.1870`` — identical to this framework's f64 output to 4 decimals. The
-Radial/Cartesian rows are regression anchors from the same verified code
-path (the reference scripts hardcode mask index k=0).
+EVERY row below was verified by executing the reference scripts
+themselves (patched scratch copy, mask index k set per row):
+
+    ADMM-L1  (iter=50, lambda1=0.1, reo=0.015):
+        Random 23.868 | Radial 23.681 | Cartesian 22.847
+    ADMM-CNC (alpha=0.45, iter=50, lambda1=0.5, reo=0.05, b=64):
+        Random 24.577 | Radial 24.323 | Cartesian 23.422
+
+This framework's f64 runs are identical to all six to >=3 decimals.
 """
 
 import numpy as np
