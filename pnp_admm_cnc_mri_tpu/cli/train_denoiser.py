@@ -25,6 +25,8 @@ def main(argv=None) -> int:
     p.add_argument("--steps", type=int, default=2000)
     p.add_argument("--batch", type=int, default=64)
     p.add_argument("--patch", type=int, default=40)
+    p.add_argument("--multiscale", action="store_true",
+                   help="extract patches at scales (1.0, 0.75, 0.5)")
     p.add_argument("--lr", type=float, default=1e-4)
     p.add_argument("--trainset", default=None, help="dir of training images")
     p.add_argument("--exclude", default=None,
@@ -57,7 +59,10 @@ def main(argv=None) -> int:
         skip = set(args.exclude.split(","))
         keep = [i for i, n in enumerate(names) if n not in skip]
         imgs01 = imgs01[keep]
-    patches = data_mod.extract_patches(list(imgs01), patch=args.patch)
+    if args.multiscale:
+        patches = data_mod.extract_patches_multiscale(list(imgs01), patch=args.patch)
+    else:
+        patches = data_mod.extract_patches(list(imgs01), patch=args.patch)
 
     conditioned = False
     ffdnet_style = False

@@ -32,6 +32,39 @@ def extract_patches(
     return np.stack(out).astype(np.float32)
 
 
+def extract_patches_multiscale(
+    imgs: Sequence[np.ndarray],
+    patch: int = 40,
+    stride: int = 20,
+    scales: Sequence[float] = (1.0, 0.75, 0.5),
+) -> np.ndarray:
+    """Patches from several MATLAB-bicubic rescalings of each image.
+
+    Small corpora (the 15-image testset) benefit from multi-scale
+    extraction — structures appear at several receptive-field sizes. Uses
+    ``ops.resize.imresize`` (the reference-compatible bicubic).
+    """
+    import jax.numpy as jnp
+
+    from pnp_admm_cnc_mri_tpu.ops import resize
+
+    pools = []
+    for s in scales:
+        if s == 1.0:
+            scaled = list(imgs)
+        else:
+            scaled = [
+                np.asarray(resize.imresize(jnp.asarray(im), s)).clip(0, 1)
+                for im in imgs
+            ]
+        scaled = [im for im in scaled if min(im.shape[:2]) >= patch]
+        if scaled:
+            pools.append(extract_patches(scaled, patch, stride))
+    if not pools:
+        raise ValueError("no scale produced patches >= patch size")
+    return np.concatenate(pools, axis=0)
+
+
 def augment_batch(patches: np.ndarray, rng: np.random.Generator) -> np.ndarray:
     """Random dihedral augmentation per patch (8 modes)."""
     modes = rng.integers(0, 8, size=patches.shape[0])

@@ -412,3 +412,20 @@ def test_rescaled_denoiser_matches_reference_wrapper(rng):
     den = dn.rescaled_denoiser(lambda v: 0.1 * jnp.tanh(v), sigma)
     got = np.asarray(den(jnp.asarray(x)))
     np.testing.assert_allclose(got, want, rtol=1e-12)
+
+
+def test_bf16_compute_dtype_close_to_f32(rng):
+    """compute_dtype=bfloat16 adapters must track the f32 path closely."""
+    import models.network_dncnn as ref_models
+
+    tm = ref_models.DnCNN(in_nc=1, out_nc=1, nc=8, nb=5, act_mode="R").eval()
+    params = convert.convert_dncnn(tm.state_dict(), nb=5)
+
+    d32 = dn.build_denoiser("dncnn_15", nc=8, nb=5, params=params)
+    d16 = dn.build_denoiser("dncnn_15", nc=8, nb=5, params=params,
+                            compute_dtype=jnp.bfloat16)
+    v = jnp.asarray(rng.random((2, 32, 32)).astype(np.float32))
+    a = np.asarray(d32(v, 0))
+    b = np.asarray(d16(v, 0))
+    assert b.dtype == np.float32  # output restored to the solver dtype
+    assert np.abs(a - b).max() < 0.03, np.abs(a - b).max()

@@ -113,3 +113,13 @@ class TestTraining:
             y, jnp.asarray(mask, jnp.float32), ADMMConfig(iter_num=3, rho=0.15), denoise
         )
         assert np.isfinite(np.asarray(final.x)).all()
+
+
+def test_multiscale_patches(patches):
+    r = np.random.default_rng(3)
+    imgs = [r.random((64, 64)) for _ in range(2)]
+    single = data_mod.extract_patches(imgs, patch=16, stride=16)
+    multi = data_mod.extract_patches_multiscale(imgs, patch=16, stride=16,
+                                                scales=(1.0, 0.5))
+    assert multi.shape[0] > single.shape[0]
+    assert multi.shape[1:] == (16, 16)
