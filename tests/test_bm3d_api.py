@@ -164,18 +164,46 @@ class TestRefilter:
         leftover = 0.2 * np.sin(2 * np.pi * 6 * xx / h)
         z = jnp.asarray((0.5 + leftover + 0.01 * rng.standard_normal((h, h))).astype(np.float32))
         y_hat = jnp.asarray(np.full((h, h), 0.5, np.float32))
-        remains, sig_re = api.get_filtered_residual(z, y_hat, 0.01)
+        remains, remains_psd = api.get_filtered_residual(z, y_hat, 0.01)
         # the sinusoid's energy must be recovered in `remains`
         corr = float(np.corrcoef(np.asarray(remains).ravel(), leftover.ravel())[0, 1])
         assert corr > 0.95, corr
+        # the remains PSD is the white PSD masked to the detected band
+        psd_np = np.asarray(remains_psd)
+        assert psd_np.shape == (h, h)
+        assert psd_np.max() > 0
+        on = 0.01**2 * h * h
+        assert np.all((np.abs(psd_np) < 1e-9) | (np.abs(psd_np - on) < 1e-6 * on))
 
     def test_clean_residual_keeps_nothing(self, rng):
         h = 64
         z = jnp.asarray((0.5 + 0.05 * rng.standard_normal((h, h))).astype(np.float32))
         y_hat = z  # perfect estimate -> zero residual
-        remains, sig_re = api.get_filtered_residual(z, y_hat, 0.05)
+        remains, remains_psd = api.get_filtered_residual(z, y_hat, 0.05)
         assert float(jnp.abs(remains).max()) < 1e-6
-        assert float(sig_re) < 1e-6
+        assert float(jnp.abs(remains_psd).max()) < 1e-6
+
+    def test_colored_refilter_matches_band_average(self, rng):
+        """Structured residual (strong diagonal sinusoid killed by the
+        first pass at high sigma): both refilter variants must recover it
+        (>2 dB over base), and the reference-faithful colored remains-PSD
+        path must stay within 0.2 dB of the band-average default
+        (measured -0.06 dB mean across seeds)."""
+        h = 64
+        xx, yy = np.meshgrid(np.arange(h), np.arange(h))
+        x = np.clip(0.5 + 0.25 * np.sin(xx / 6.0) * np.cos(yy / 8.0)
+                    + 0.12 * np.sin(2 * np.pi * 11 * (xx + yy) / h), 0, 1)
+        sig = 0.25
+        z = jnp.asarray((x + sig * rng.standard_normal((h, h))).astype(np.float32))
+
+        def psnr(a):
+            return 10 * np.log10(1.0 / np.mean((np.asarray(a) - x) ** 2))
+
+        y_col = api.bm3d_refilter(z, sig, colored=True)
+        y_avg = api.bm3d_refilter(z, sig)
+        base = core.bm3d(z, sig)
+        assert psnr(y_avg) > psnr(base) + 2.0, (psnr(y_avg), psnr(base))
+        assert abs(psnr(y_col) - psnr(y_avg)) < 0.2, (psnr(y_col), psnr(y_avg))
 
 
 class TestPSDParameterMatching:
