@@ -174,13 +174,15 @@ def main(argv=None) -> int:
         x8 = args.x8 or (args.algo == "pnp_l1_d" and "drunet" in args.model)
         if args.no_x8:
             x8 = False
+        weights = denoiser_mod.resolve_weights(args.model, args.weights)
         denoise = denoiser_mod.build_denoiser(
-            args.model, weights=args.weights, iter_num=cfg.iter_num, x8=x8
+            args.model, weights=weights, iter_num=cfg.iter_num, x8=x8
         )
         denoise2 = None
         if args.model2:
+            weights2 = denoiser_mod.resolve_weights(args.model2, args.weights2)
             denoise2 = denoiser_mod.build_denoiser(
-                args.model2, weights=args.weights2, iter_num=cfg.iter_num, x8=x8
+                args.model2, weights=weights2, iter_num=cfg.iter_num, x8=x8
             )
         out = experiments.run_pnp(
             denoise,

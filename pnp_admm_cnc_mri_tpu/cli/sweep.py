@@ -128,7 +128,8 @@ def main(argv=None) -> int:
             cfg = cfg_mod.ADMMConfig(iter_num=iters, lam=lam, rho=rho,
                                      alpha=a, b=b)
         denoise = dn_mod.build_denoiser(
-            args.model, weights=args.weights, iter_num=cfg.iter_num
+            args.model, weights=dn_mod.resolve_weights(args.model, args.weights),
+            iter_num=cfg.iter_num
         )
 
         def run(y, m):

@@ -810,27 +810,36 @@ def spectral_gate(z: jnp.ndarray, psd: np.ndarray, concentration: float = 16.0,
 
 def bm3d_colored_auto(
     z: jnp.ndarray, psd: np.ndarray, profile: BM3DProfile = DEFAULT_PROFILE,
-    gate_concentration: float = 16.0, exact: bool = True,
+    gate_concentration: Optional[float] = None, exact: bool = True,
     auto_params: bool = True,
 ) -> jnp.ndarray:
-    """Colored-noise BM3D with automatic narrowband gating.
+    """Colored-noise BM3D: estimated parameters + exact variances.
 
-    Applies ``spectral_gate`` (no-op for flat PSDs), estimates
-    PSD-matched (lambda, mu^2) shrinkage parameters (``auto_params``, the
-    reference's feature-matching estimator), and runs the exact-variance
-    colored two-stage core — the recommended entry point for arbitrary
-    stationary noise. Measured against the reference C binaries on
-    lowpass / anisotropic / pink PSDs this lands +0.44 / +0.25 / -0.14 dB
+    Estimates PSD-matched (lambda, mu^2) shrinkage parameters
+    (``auto_params``, the reference's feature-matching estimator) and runs
+    the exact-variance colored two-stage core — the recommended entry
+    point for arbitrary stationary noise. Measured against the reference
+    C binaries: lowpass / anisotropic / pink PSDs land +0.44 / +0.25 /
+    -0.14 dB, and the g1/g4(w) experiment noise families within 0.3 dB
     (the approximate path without ``exact``/``auto_params`` trails by
-    0.4-1.8 dB).
+    0.4-1.8 dB). Extremely narrowband PSDs (g2/g3 ring and diagonal-line
+    families) remain 3-14 dB behind the C binaries — a known gap.
+
+    ``gate_concentration`` optionally pre-applies ``spectral_gate`` at
+    that threshold. Multi-seed measurement on the narrowband families:
+    the gate is a wash on g2 (31.05 vs 31.07 mean) and loses ~1.8 dB mean
+    on g3 (30.2 vs 32.0) — but with much LOWER realization variance
+    (28.4-32.0 vs 25.0-39.9). Disabled by default for the better mean;
+    enable it when worst-case robustness on oscillatory noise matters.
     """
-    zg, psd_g = spectral_gate(z, psd, gate_concentration)
-    floor = float(np.mean(psd_g)) * 1e-3 + 1e-20
-    psd_g = np.maximum(psd_g, floor)
+    if gate_concentration is not None:
+        z, psd = spectral_gate(z, psd, gate_concentration)
+    floor = float(np.mean(psd)) * 1e-3 + 1e-20
+    psd_g = np.maximum(psd, floor)
     if auto_params:
         from pnp_admm_cnc_mri_tpu.priors.bm3d import psd_params
 
         lam, mu2, _, _ = psd_params.estimate_parameters_for_psd(
             psd_params.shrink_and_normalize_psd(psd_g))
         profile = dataclasses.replace(profile, lambda_thr3d=lam, mu2=mu2)
-    return bm3d_colored(zg, psd_g, profile, exact=exact)
+    return bm3d_colored(z, psd_g, profile, exact=exact)

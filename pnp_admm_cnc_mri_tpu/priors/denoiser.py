@@ -22,6 +22,8 @@ the batch shape — no host round trips anywhere.
 from __future__ import annotations
 
 import functools
+import os
+import warnings
 from typing import Callable, Optional
 
 import jax
@@ -103,6 +105,35 @@ def x8_ensemble(denoise_core: Callable, v: jnp.ndarray, axes=(1, 2)) -> jnp.ndar
         for m in range(8)
     ]
     return sum(outs) / 8.0
+
+
+# ---------------------------------------------------------------------------
+# Weight resolution
+# ---------------------------------------------------------------------------
+
+DEFAULT_MODEL_ZOO = os.path.abspath(
+    os.path.join(os.path.dirname(__file__), "..", "..", "model_zoo")
+)
+
+
+def resolve_weights(model_name: str, weights: Optional[str] = None,
+                    model_zoo: Optional[str] = None) -> Optional[str]:
+    """Resolve a weights path for a model name.
+
+    An explicit ``weights`` path wins; otherwise look for
+    ``model_zoo/<model_name>.npz`` then ``.pth`` (the reference expects
+    KAIR checkpoints in ``model_zoo/`` — ``【3】PNP_ADMM_L1_D  .py:102``).
+    Returns None when nothing is found (callers may fall back to random
+    init, which ``build_denoiser`` warns about).
+    """
+    if weights is not None:
+        return weights
+    zoo = model_zoo or DEFAULT_MODEL_ZOO
+    for ext in (".npz", ".pth"):
+        cand = os.path.join(zoo, model_name + ext)
+        if os.path.exists(cand):
+            return cand
+    return None
 
 
 # ---------------------------------------------------------------------------
@@ -305,6 +336,12 @@ def _load_params(model, weights, converter, allow_random=True, dtype=jnp.float32
         return _check_shapes(model, loaded, in_nc, ffdnet, dtype, weights)
     if not allow_random:
         raise FileNotFoundError(f"weights required for {model.__class__.__name__}")
+    warnings.warn(
+        f"no weights given for {model.__class__.__name__}: using RANDOM "
+        f"initialization — reconstruction quality will be meaningless. Pass "
+        f"weights= or place <model>.npz in model_zoo/.",
+        stacklevel=3,
+    )
     rng = jax.random.PRNGKey(0)
     dummy = jnp.zeros((1, 64, 64, in_nc), dtype)
     if ffdnet:
@@ -320,6 +357,11 @@ def _load_ircnn_stack(model, weights, allow_random, dtype):
         return convert.convert_ircnn_bundle(bundle)
     if not allow_random:
         raise FileNotFoundError("ircnn weights required")
+    warnings.warn(
+        "no weights given for IRCNN: using RANDOM initialization — "
+        "reconstruction quality will be meaningless.",
+        stacklevel=3,
+    )
     rng = jax.random.PRNGKey(0)
     dummy = jnp.zeros((1, 64, 64, 1), dtype)
     one = model.init(rng, dummy)
