@@ -37,6 +37,17 @@ def main(argv=None) -> int:
     p.add_argument("--nc", type=int, default=64)
     p.add_argument("--nb", type=int, default=None)
     p.add_argument("--mesh", action="store_true", help="shard over all devices")
+    p.add_argument("--lr_decay", choices=["cosine"], default=None,
+                   help="anneal the learning rate over the run")
+    p.add_argument("--ckpt_every", type=int, default=0,
+                   help="save the npz every N steps (long runs survive kill)")
+    p.add_argument("--bundle", action="store_true",
+                   help="ircnn only: train all 25 noise-bin models "
+                        "(sigma255 = 1,3,...,49), warm-starting each bin from "
+                        "its neighbor, and save one stacked npz compatible "
+                        "with the ircnn_gray PnP adapter")
+    p.add_argument("--bundle_steps", type=int, default=800,
+                   help="fine-tune steps per non-center bin (--bundle)")
     args = p.parse_args(argv)
 
     import jax
@@ -91,15 +102,65 @@ def main(argv=None) -> int:
         mesh = mesh_lib.make_mesh()
 
     cfg = trainer.TrainConfig(
-        learning_rate=args.lr, loss="l1" if args.model == "fdncnn" else "l2"
+        learning_rate=args.lr, loss="l1" if args.model == "fdncnn" else "l2",
+        lr_decay=args.lr_decay,
     )
+    os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+
+    def save(tree, path):
+        convert.save_npz(jax.tree.map(np.asarray, tree), path)
+
+    ckpt_cb = None
+    if args.ckpt_every:
+        def ckpt_cb(step, p, _path=args.out):
+            save(p, _path)
+            print(json.dumps({"ckpt": _path, "step": step}), flush=True)
+
+    if args.bundle:
+        if args.model != "ircnn":
+            raise SystemExit("--bundle is only meaningful for --model ircnn")
+        # The reference's ircnn_gray checkpoint is 25 state-dicts keyed
+        # "0".."24" by noise bin (【3】PNP_ADMM_L1_D  .py:188-189, :281-288);
+        # bin i serves sigma255 in (2i, 2i+2], center 2i+1. Train the middle
+        # bin fully, then walk outward warm-starting from the neighbor —
+        # adjacent noise levels share most of the mapping, so each bin only
+        # needs a short fine-tune.
+        center = 12
+        bins: dict[int, object] = {}
+        p_c, losses = trainer.train_denoiser(
+            model, patches, (2 * center + 1) / 255.0, steps=args.steps,
+            batch_size=args.batch, cfg=cfg, mesh=mesh,
+        )
+        bins[center] = p_c
+        print(json.dumps({"bin": center, "losses": losses[-2:]}), flush=True)
+        for direction in (-1, 1):
+            prev = p_c
+            b = center + direction
+            while 0 <= b <= 24:
+                prev, losses = trainer.train_denoiser(
+                    model, patches, (2 * b + 1) / 255.0,
+                    steps=args.bundle_steps, batch_size=args.batch, cfg=cfg,
+                    mesh=mesh, params=prev, seed=b,
+                )
+                bins[b] = prev
+                print(json.dumps({"bin": b, "losses": losses[-1:]}), flush=True)
+                # checkpoint the partial bundle (missing bins fall back to
+                # the nearest trained neighbor so the file always loads)
+                full = [bins.get(i) or bins[min(bins, key=lambda k: abs(k - i))]
+                        for i in range(25)]
+                stacked = jax.tree.map(lambda *xs: np.stack([np.asarray(x) for x in xs]), *full)
+                save(stacked, args.out)
+                b += direction
+        print(json.dumps({"out": args.out, "bins": sorted(bins),
+                          "patches": len(patches)}))
+        return 0
+
     params, losses = trainer.train_denoiser(
         model, patches, sigma, steps=args.steps, batch_size=args.batch,
         cfg=cfg, mesh=mesh, conditioned=conditioned, ffdnet_style=ffdnet_style,
+        ckpt_cb=ckpt_cb, ckpt_every=args.ckpt_every,
     )
-    params = jax.tree.map(np.asarray, params)
-    os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
-    convert.save_npz(params, args.out)
+    save(params, args.out)
     print(json.dumps({"out": args.out, "losses": losses[-3:], "patches": len(patches)}))
     return 0
 

