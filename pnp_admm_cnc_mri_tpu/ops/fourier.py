@@ -66,7 +66,67 @@ def data_term_gradient(
     return ifft2(res)
 
 
-def make_rfft_data_consistency(y: jnp.ndarray, mask: jnp.ndarray, rho):
+def _dft_mats(n: int, dtype):
+    """On-device (cos, sin) DFT matrices: M[k, j] = trig(2 pi k j / n).
+
+    Built from ``jnp.arange`` (device-side iota under jit) rather than
+    NumPy constants so nothing crosses the host->device boundary — the
+    axon TPU tunnel stalls on MB-scale transfers.
+    """
+    k = jnp.arange(n, dtype=dtype)
+    ang = (2.0 * jnp.pi / n) * jnp.outer(k, k)
+    return jnp.cos(ang), jnp.sin(ang)
+
+
+def matmul_rfft2(x: jnp.ndarray):
+    """rfft2 over the trailing (H, W) axes as MXU matmuls.
+
+    Returns (real, imag) of shape (..., H, W//2+1). A 256-point DFT is two
+    small matmuls per axis — on TPU these run on the systolic array and
+    beat the generic FFT kernel for the small power-of-two sizes this
+    framework lives at (the reference images are 256x256,
+    ``CS_MRI/Q_*.mat``). Any H/W is supported.
+    """
+    h, w = x.shape[-2], x.shape[-1]
+    wh = w // 2 + 1
+    cw, sw = _dft_mats(w, x.dtype)
+    ch, sh = _dft_mats(h, x.dtype)
+    # rows (W axis), half spectrum: X = x @ (cos - i sin)^T
+    xr = x @ cw[:, :wh]
+    xi = -(x @ sw[:, :wh])
+    # columns (H axis), full complex DFT: (c - i s)(xr + i xi)
+    yr = jnp.einsum("mh,...hk->...mk", ch, xr) + jnp.einsum(
+        "mh,...hk->...mk", sh, xi)
+    yi = jnp.einsum("mh,...hk->...mk", ch, xi) - jnp.einsum(
+        "mh,...hk->...mk", sh, xr)
+    return yr, yi
+
+
+def matmul_irfft2(yr: jnp.ndarray, yi: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
+    """Inverse of ``matmul_rfft2`` for a Hermitian half-spectrum.
+
+    (real, imag) of shape (..., H, W//2+1) -> real (..., H, W).
+    """
+    wh = w // 2 + 1
+    cw, sw = _dft_mats(w, yr.dtype)
+    ch, sh = _dft_mats(h, yr.dtype)
+    # columns first: inverse complex DFT along H (conjugate transform / H)
+    xr = (jnp.einsum("hm,...hk->...mk", ch, yr)
+          - jnp.einsum("hm,...hk->...mk", sh, yi)) / h
+    xi = (jnp.einsum("hm,...hk->...mk", ch, yi)
+          + jnp.einsum("hm,...hk->...mk", sh, yr)) / h
+    # rows: real synthesis from the half spectrum. Bin weights double the
+    # interior bins (their conjugate twins are implicit); DC and — for
+    # even W — Nyquist appear once.
+    wk = jnp.full((wh,), 2.0, yr.dtype)
+    wk = wk.at[0].set(1.0)
+    if w % 2 == 0:
+        wk = wk.at[wh - 1].set(1.0)
+    return ((xr * wk) @ cw[:wh, :] - (xi * wk) @ sw[:wh, :]) / w
+
+
+def make_rfft_data_consistency(y: jnp.ndarray, mask: jnp.ndarray, rho,
+                               method: str = "fft"):
     """Half-spectrum (rfft) data-consistency solve — 2x less FFT work.
 
     The reference's x-update is ``x = |real(ifft2(F))|`` with
@@ -83,6 +143,11 @@ def make_rfft_data_consistency(y: jnp.ndarray, mask: jnp.ndarray, rho):
     is then rfft2 -> one fused multiply-add -> irfft2 — exactly half the
     FFT flops and memory traffic of the full-spectrum path, bit-equal in
     exact arithmetic (tested to f64 precision).
+
+    ``method='matmul'`` computes the transforms as MXU matmuls
+    (``matmul_rfft2``/``matmul_irfft2``) instead of the generic FFT
+    kernel — the TPU-native fast path for the small image sizes this
+    framework targets.
 
     Returns ``dc(v) -> x`` for real v of shape (..., H, W).
     """
@@ -102,6 +167,19 @@ def make_rfft_data_consistency(y: jnp.ndarray, mask: jnp.ndarray, rho):
     c_full = (m * y + m_neg * y_neg_conj) / (2.0 * (1.0 + la2))
     a_half = a_full[..., :half]
     c_half = c_full[..., :half]
+
+    if method == "matmul":
+        cr = c_half.real
+        ci = c_half.imag
+
+        def dc(v: jnp.ndarray) -> jnp.ndarray:
+            vr, vi = matmul_rfft2(v)
+            a = a_half.astype(v.dtype)
+            return jnp.abs(matmul_irfft2(
+                a * vr + cr.astype(v.dtype),
+                a * vi + ci.astype(v.dtype), h, w))
+
+        return dc
 
     def dc(v: jnp.ndarray) -> jnp.ndarray:
         vf = jnp.fft.rfft2(v, axes=(-2, -1))

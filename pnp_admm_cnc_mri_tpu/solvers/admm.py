@@ -95,12 +95,15 @@ def run_admm(
     collect_residuals: bool = False,
     tail=None,
     use_rfft: bool = True,
+    dc_method: str = "fft",
 ):
     """Run ``iter_num`` fixed iterations as one ``lax.scan``.
 
     ``use_rfft`` enables the half-spectrum data-consistency fast path
     (identical math, half the FFT work; see
-    ``fourier.make_rfft_data_consistency``).
+    ``fourier.make_rfft_data_consistency``). ``dc_method='matmul'``
+    computes the transforms as MXU matmuls instead of the generic FFT
+    kernel (TPU fast path for small images).
 
     Returns ``(final_state, residuals)`` where residuals (if requested) is
     the per-iteration primal residual norm ``||x - z||_F`` per batch element
@@ -108,7 +111,8 @@ def run_admm(
     reference never monitors convergence).
     """
     state = init_state(y, dtype)
-    dc = fourier.make_rfft_data_consistency(y, mask, rho) if use_rfft else None
+    dc = (fourier.make_rfft_data_consistency(y, mask, rho, method=dc_method)
+          if use_rfft else None)
 
     def step(state, i):
         new = admm_step(state, i, y, mask, rho, z_update, clamp, tail=tail, dc=dc)
@@ -133,6 +137,7 @@ def run_admm_tol(
     clamp: bool = False,
     dtype=jnp.float32,
     use_rfft: bool = True,
+    dc_method: str = "fft",
 ):
     """Tolerance-stopped variant (new capability; the reference always runs
     a fixed count, SURVEY.md §2.1 "Fixed iteration count").
@@ -144,7 +149,8 @@ def run_admm_tol(
     returns ``(state, iterations_run)``.
     """
     state0 = init_state(y, dtype)
-    dc = fourier.make_rfft_data_consistency(y, mask, rho) if use_rfft else None
+    dc = (fourier.make_rfft_data_consistency(y, mask, rho, method=dc_method)
+          if use_rfft else None)
 
     def rel_residual(state):
         from pnp_admm_cnc_mri_tpu.parallel import reductions
@@ -176,7 +182,7 @@ def run_admm_tol(
 def _check_tol_kwargs(kw):
     """Tolerance mode returns (state, iterations_run), not residual traces
     — reject options it cannot honor instead of silently dropping them."""
-    bad = set(kw) - {"use_rfft"}
+    bad = set(kw) - {"use_rfft", "dc_method"}
     if bad:
         raise ValueError(
             f"options {sorted(bad)} are not supported with cfg.tol set "
@@ -197,7 +203,8 @@ def admm_l1(y, mask, cfg: ADMMConfig, dtype=jnp.float32, fused: bool = True, **k
     if cfg.tol is not None:
         _check_tol_kwargs(kw)
         return run_admm_tol(y, mask, cfg.iter_num, cfg.rho, z_update, cfg.tol,
-                            dtype=dtype, use_rfft=kw.get("use_rfft", True))
+                            dtype=dtype, use_rfft=kw.get("use_rfft", True),
+                            dc_method=kw.get("dc_method", "fft"))
     tail = None
     if fused:
         from pnp_admm_cnc_mri_tpu.ops import pallas_kernels
@@ -215,7 +222,8 @@ def admm_cnc(y, mask, cfg: ADMMConfig, dtype=jnp.float32, fused: bool = True, **
     if cfg.tol is not None:
         _check_tol_kwargs(kw)
         return run_admm_tol(y, mask, cfg.iter_num, cfg.rho, z_update, cfg.tol,
-                            dtype=dtype, use_rfft=kw.get("use_rfft", True))
+                            dtype=dtype, use_rfft=kw.get("use_rfft", True),
+                            dc_method=kw.get("dc_method", "fft"))
     tail = None
     if fused:
         from pnp_admm_cnc_mri_tpu.ops import pallas_kernels

@@ -166,3 +166,50 @@ class TestRFFTDataConsistency:
                 jnp.asarray(v[i]), jnp.asarray(y[i]), jnp.asarray(mask), 0.1
             )
             np.testing.assert_allclose(np.asarray(got[i]), np.asarray(single), rtol=1e-12)
+
+
+class TestMatmulDFT:
+    """MXU matmul DFT path: must match jnp.fft exactly (f64)."""
+
+    @pytest.mark.parametrize("hw", [(32, 32), (33, 47), (32, 47), (33, 48)])
+    def test_matmul_rfft2_matches_fft(self, hw, rng):
+        h, w = hw
+        x = jnp.asarray(rng.random((2, h, w)))
+        yr, yi = fourier.matmul_rfft2(x)
+        want = np.fft.rfft2(np.asarray(x), axes=(-2, -1))
+        np.testing.assert_allclose(np.asarray(yr), want.real, atol=1e-9)
+        np.testing.assert_allclose(np.asarray(yi), want.imag, atol=1e-9)
+
+    @pytest.mark.parametrize("hw", [(32, 32), (33, 47), (32, 47), (33, 48)])
+    def test_matmul_irfft2_roundtrip(self, hw, rng):
+        h, w = hw
+        x = rng.random((h, w))
+        yr, yi = fourier.matmul_rfft2(jnp.asarray(x))
+        back = fourier.matmul_irfft2(yr, yi, h, w)
+        np.testing.assert_allclose(np.asarray(back), x, atol=1e-11)
+
+    def test_dc_method_matmul_equals_fft(self, rng):
+        h, w = 32, 48
+        v = rng.random((h, w))
+        mask = (rng.random((h, w)) < 0.3).astype(np.float64)
+        y = np.fft.fft2(rng.random((h, w))) * mask + (
+            rng.normal(size=(h, w)) + 1j * rng.normal(size=(h, w))
+        )
+        dc_f = fourier.make_rfft_data_consistency(jnp.asarray(y), jnp.asarray(mask), 0.015)
+        dc_m = fourier.make_rfft_data_consistency(
+            jnp.asarray(y), jnp.asarray(mask), 0.015, method="matmul")
+        np.testing.assert_allclose(
+            np.asarray(dc_m(jnp.asarray(v))), np.asarray(dc_f(jnp.asarray(v))),
+            atol=1e-10)
+
+    def test_admm_l1_dc_method_parity(self, rng):
+        from pnp_admm_cnc_mri_tpu.config import ADMMConfig
+        from pnp_admm_cnc_mri_tpu.solvers import admm
+
+        mask = (rng.random((32, 32)) < 0.3).astype(np.float64)
+        y = jnp.asarray(np.fft.fft2(rng.random((2, 32, 32)), axes=(-2, -1)) * mask)
+        cfg = ADMMConfig(iter_num=8, lam=0.1, rho=0.015)
+        a, _ = admm.admm_l1(y, jnp.asarray(mask), cfg, dtype=jnp.float64)
+        b, _ = admm.admm_l1(y, jnp.asarray(mask), cfg, dtype=jnp.float64,
+                            dc_method="matmul")
+        np.testing.assert_allclose(np.asarray(b.x), np.asarray(a.x), atol=1e-9)
