@@ -127,9 +127,21 @@ def main(argv=None) -> int:
         # needs a short fine-tune.
         center = 12
         bins: dict[int, object] = {}
+
+        def save_bundle_ckpt(step, p, _path=args.out):
+            # replicate the sole trained tree across all 25 bins so the
+            # file ALWAYS loads as a valid bundle, even mid-center-bin
+            stacked = jax.tree.map(
+                lambda a: np.stack([np.asarray(a)] * 25), p)
+            save(stacked, _path)
+            print(json.dumps({"ckpt": _path, "step": step, "bin": center}),
+                  flush=True)
+
         p_c, losses = trainer.train_denoiser(
             model, patches, (2 * center + 1) / 255.0, steps=args.steps,
             batch_size=args.batch, cfg=cfg, mesh=mesh,
+            ckpt_cb=save_bundle_ckpt if args.ckpt_every else None,
+            ckpt_every=args.ckpt_every,
         )
         bins[center] = p_c
         print(json.dumps({"bin": center, "losses": losses[-2:]}), flush=True)

@@ -71,11 +71,17 @@ def _dft_mats(n: int, dtype):
 
     Built from ``jnp.arange`` (device-side iota under jit) rather than
     NumPy constants so nothing crosses the host->device boundary — the
-    axon TPU tunnel stalls on MB-scale transfers.
+    axon TPU tunnel stalls on MB-scale transfers. The phase product is
+    reduced mod n in integers before the float scale, so angles stay in
+    [0, 2 pi) and the matrices are accurate even when the caller computes
+    in float32/bfloat16 (unreduced k*j reaches (n-1)^2 — unrepresentable
+    in bf16 and ~275x less accurate in f32).
     """
-    k = jnp.arange(n, dtype=dtype)
-    ang = (2.0 * jnp.pi / n) * jnp.outer(k, k)
-    return jnp.cos(ang), jnp.sin(ang)
+    trig_dtype = jnp.promote_types(dtype, jnp.float32)
+    k = jnp.arange(n, dtype=jnp.int32)
+    kj = jnp.outer(k, k) % n
+    ang = (2.0 * jnp.pi / n) * kj.astype(trig_dtype)
+    return jnp.cos(ang).astype(dtype), jnp.sin(ang).astype(dtype)
 
 
 def matmul_rfft2(x: jnp.ndarray):

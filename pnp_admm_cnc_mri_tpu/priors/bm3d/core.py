@@ -593,7 +593,6 @@ def ht_stage_colored(
     cov_field: Optional[jnp.ndarray] = None,
     cov_radius: int = 32,
     match_weights: Optional[np.ndarray] = None,
-    match_img: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """HT stage with per-coefficient thresholds (colored noise).
 
@@ -629,8 +628,7 @@ def ht_stage_colored(
     elif match_weights is not None:
         match_coeffs = t2b * jnp.asarray(
             np.sqrt(match_weights), z.dtype)[None, None, :]
-    pos, counts = _match(z if match_img is None else match_img,
-                         ref_i, offs, bs, p.max_3d_ht, tau, match_coeffs)
+    pos, counts = _match(z, ref_i, offs, bs, p.max_3d_ht, tau, match_coeffs)
 
     groups = _group_coeffs(t2b, pos, nw)
     stds_d = jnp.asarray(coeff_stds, z.dtype)  # (64,)

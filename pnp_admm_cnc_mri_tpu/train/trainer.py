@@ -182,6 +182,7 @@ def train_denoiser(
             losses.append((i, float(loss)))
         if ckpt_cb is not None and ckpt_every and (i + 1) % ckpt_every == 0:
             ckpt_cb(i + 1, params)
-    if ckpt_cb is not None:
+    # final save, unless the last in-loop checkpoint already covered it
+    if ckpt_cb is not None and (not ckpt_every or steps % ckpt_every != 0):
         ckpt_cb(steps, params)
     return params, losses

@@ -213,3 +213,14 @@ class TestMatmulDFT:
         b, _ = admm.admm_l1(y, jnp.asarray(mask), cfg, dtype=jnp.float64,
                             dc_method="matmul")
         np.testing.assert_allclose(np.asarray(b.x), np.asarray(a.x), atol=1e-9)
+
+    def test_matmul_rfft2_f32_accuracy(self, rng):
+        """Phase reduction keeps the f32 path close to jnp.fft at f32
+        (unreduced angles cost ~275x accuracy at 256x256)."""
+        x32 = jnp.asarray(rng.random((256, 256)), jnp.float32)
+        yr, yi = fourier.matmul_rfft2(x32)
+        want = np.fft.rfft2(np.asarray(x32, np.float64))
+        scale = np.abs(want).max()
+        err_r = np.abs(np.asarray(yr, np.float64) - want.real).max() / scale
+        err_i = np.abs(np.asarray(yi, np.float64) - want.imag).max() / scale
+        assert err_r < 5e-7 and err_i < 5e-7, (err_r, err_i)
