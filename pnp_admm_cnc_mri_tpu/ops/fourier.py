@@ -84,7 +84,7 @@ def _dft_mats(n: int, dtype):
     return jnp.cos(ang).astype(dtype), jnp.sin(ang).astype(dtype)
 
 
-def matmul_rfft2(x: jnp.ndarray):
+def matmul_rfft2(x: jnp.ndarray, mats=None):
     """rfft2 over the trailing (H, W) axes as MXU matmuls.
 
     Returns (real, imag) of shape (..., H, W//2+1). A 256-point DFT is two
@@ -92,11 +92,19 @@ def matmul_rfft2(x: jnp.ndarray):
     beat the generic FFT kernel for the small power-of-two sizes this
     framework lives at (the reference images are 256x256,
     ``CS_MRI/Q_*.mat``). Any H/W is supported.
+
+    ``mats``: optional precomputed ``(cw, sw, ch, sh)`` from ``_dft_mats``
+    — pass these when calling inside a scanned loop so the trig matrices
+    are built once and captured as loop invariants rather than
+    re-emitted in every iteration body.
     """
     h, w = x.shape[-2], x.shape[-1]
     wh = w // 2 + 1
-    cw, sw = _dft_mats(w, x.dtype)
-    ch, sh = _dft_mats(h, x.dtype)
+    if mats is None:
+        cw, sw = _dft_mats(w, x.dtype)
+        ch, sh = _dft_mats(h, x.dtype)
+    else:
+        cw, sw, ch, sh = mats
     # rows (W axis), half spectrum: X = x @ (cos - i sin)^T
     xr = x @ cw[:, :wh]
     xi = -(x @ sw[:, :wh])
@@ -108,14 +116,19 @@ def matmul_rfft2(x: jnp.ndarray):
     return yr, yi
 
 
-def matmul_irfft2(yr: jnp.ndarray, yi: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
+def matmul_irfft2(yr: jnp.ndarray, yi: jnp.ndarray, h: int, w: int,
+                  mats=None) -> jnp.ndarray:
     """Inverse of ``matmul_rfft2`` for a Hermitian half-spectrum.
 
     (real, imag) of shape (..., H, W//2+1) -> real (..., H, W).
+    ``mats``: see ``matmul_rfft2``.
     """
     wh = w // 2 + 1
-    cw, sw = _dft_mats(w, yr.dtype)
-    ch, sh = _dft_mats(h, yr.dtype)
+    if mats is None:
+        cw, sw = _dft_mats(w, yr.dtype)
+        ch, sh = _dft_mats(h, yr.dtype)
+    else:
+        cw, sw, ch, sh = mats
     # columns first: inverse complex DFT along H (conjugate transform / H)
     xr = (jnp.einsum("hm,...hk->...mk", ch, yr)
           - jnp.einsum("hm,...hk->...mk", sh, yi)) / h
@@ -177,13 +190,19 @@ def make_rfft_data_consistency(y: jnp.ndarray, mask: jnp.ndarray, rho,
     if method == "matmul":
         cr = c_half.real
         ci = c_half.imag
+        dt = y.real.dtype
+        mats = _dft_mats(w, dt)[0:2] + _dft_mats(h, dt)[0:2] if h != w else None
+        if mats is None:
+            cw, sw = _dft_mats(w, dt)
+            mats = (cw, sw, cw, sw)
 
         def dc(v: jnp.ndarray) -> jnp.ndarray:
-            vr, vi = matmul_rfft2(v)
+            m4 = tuple(m.astype(v.dtype) for m in mats)
+            vr, vi = matmul_rfft2(v, m4)
             a = a_half.astype(v.dtype)
             return jnp.abs(matmul_irfft2(
                 a * vr + cr.astype(v.dtype),
-                a * vi + ci.astype(v.dtype), h, w))
+                a * vi + ci.astype(v.dtype), h, w, m4))
 
         return dc
 
