@@ -19,7 +19,8 @@ from pnp_admm_cnc_mri_tpu.priors import denoiser as dn
 ZOO = dn.DEFAULT_MODEL_ZOO
 SHIPPED = [
     name for name in ("dncnn_15", "dncnn_25", "dncnn_15_no05",
-                      "fdncnn_gray", "ffdnet_gray")
+                      "fdncnn_gray", "ffdnet_gray", "ircnn_gray",
+                      "drunet_gray")
     if os.path.exists(os.path.join(ZOO, name + ".npz"))
 ]
 
