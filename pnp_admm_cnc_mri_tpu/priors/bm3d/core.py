@@ -296,23 +296,37 @@ def _aggregate(
     hat_blocks: (G, K, bs*bs) spatial-domain filtered blocks
     weights:    (G, K) per-block aggregation weights (0 for unused slots)
     pos:        (G, K, 2) top-left positions
+
+    TPU-shaped two-step formulation: a ROW scatter accumulates each
+    matched block onto its top-left position (G*K rows of bs^2 — XLA
+    lowers wide-row scatters far better than the naive per-pixel scatter
+    of G*K*bs^2 scalars), then bs^2 static overlap-adds spread the
+    accumulated canvas — dense dynamic-update-slice adds the compiler
+    fuses. Identical math; only the float summation order differs.
     """
     h, w = img_shape
     g, k, bsq = hat_blocks.shape
     bs = int(np.sqrt(bsq))
+    nh, nw = h - bs + 1, w - bs + 1
     win = jnp.asarray(window.reshape(-1), hat_blocks.dtype)
 
-    di = np.repeat(np.arange(bs), bs).astype(np.int32)
-    dj = np.tile(np.arange(bs), bs).astype(np.int32)
-    pix = (pos[..., 0:1] + di[None, None]) * w + (pos[..., 1:2] + dj[None, None])
-    pix = pix.reshape(-1)
+    flat_pos = (pos[..., 0] * nw + pos[..., 1]).reshape(-1)  # (G*K,)
+    vals = (hat_blocks * win[None, None, :] * weights[..., None]).reshape(-1, bsq)
+    wv = weights.reshape(-1)
 
-    vals = (hat_blocks * win[None, None, :] * weights[..., None]).reshape(-1)
-    wvals = (jnp.broadcast_to(win[None, None, :], hat_blocks.shape) * weights[..., None]).reshape(-1)
+    acc = jnp.zeros((nh * nw, bsq), hat_blocks.dtype).at[flat_pos].add(vals)
+    accw = jnp.zeros((nh * nw,), hat_blocks.dtype).at[flat_pos].add(wv)
+    acc = acc.reshape(nh, nw, bsq)
+    accw = accw.reshape(nh, nw)
 
-    num = jnp.zeros(h * w, hat_blocks.dtype).at[pix].add(vals)
-    den = jnp.zeros(h * w, hat_blocks.dtype).at[pix].add(wvals)
-    return (num / jnp.maximum(den, 1e-10)).reshape(h, w)
+    num = jnp.zeros((h, w), hat_blocks.dtype)
+    den = jnp.zeros((h, w), hat_blocks.dtype)
+    for di in range(bs):
+        for dj in range(bs):
+            c = di * bs + dj
+            num = num.at[di:di + nh, dj:dj + nw].add(acc[:, :, c])
+            den = den.at[di:di + nh, dj:dj + nw].add(accw * win[c])
+    return num / jnp.maximum(den, 1e-10)
 
 
 def ht_stage(
