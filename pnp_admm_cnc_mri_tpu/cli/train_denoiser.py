@@ -48,6 +48,14 @@ def main(argv=None) -> int:
                         "with the ircnn_gray PnP adapter")
     p.add_argument("--bundle_steps", type=int, default=800,
                    help="fine-tune steps per non-center bin (--bundle)")
+    p.add_argument("--ondevice", action="store_true",
+                   help="stage the patch corpus to the device once and fuse "
+                        "sampling+augment+noise+update in one jit per step — "
+                        "required for training over the axon TPU link "
+                        "(per-step host batches stall); also the fastest "
+                        "local path")
+    p.add_argument("--resume", default=None,
+                   help="npz checkpoint to warm-start from")
     args = p.parse_args(argv)
 
     import jax
@@ -167,11 +175,23 @@ def main(argv=None) -> int:
                           "patches": len(patches)}))
         return 0
 
-    params, losses = trainer.train_denoiser(
-        model, patches, sigma, steps=args.steps, batch_size=args.batch,
-        cfg=cfg, mesh=mesh, conditioned=conditioned, ffdnet_style=ffdnet_style,
-        ckpt_cb=ckpt_cb, ckpt_every=args.ckpt_every,
-    )
+    init_params = None
+    if args.resume:
+        init_params = convert.load_npz(args.resume)
+
+    if args.ondevice:
+        params, losses = trainer.train_denoiser_ondevice(
+            model, patches, sigma, steps=args.steps, batch_size=args.batch,
+            cfg=cfg, conditioned=conditioned, ffdnet_style=ffdnet_style,
+            params=init_params, ckpt_cb=ckpt_cb, ckpt_every=args.ckpt_every,
+        )
+    else:
+        params, losses = trainer.train_denoiser(
+            model, patches, sigma, steps=args.steps, batch_size=args.batch,
+            cfg=cfg, mesh=mesh, conditioned=conditioned,
+            ffdnet_style=ffdnet_style, params=init_params,
+            ckpt_cb=ckpt_cb, ckpt_every=args.ckpt_every,
+        )
     save(params, args.out)
     print(json.dumps({"out": args.out, "losses": losses[-3:], "patches": len(patches)}))
     return 0

@@ -186,3 +186,116 @@ def train_denoiser(
     if ckpt_cb is not None and (not ckpt_every or steps % ckpt_every != 0):
         ckpt_cb(steps, params)
     return params, losses
+
+
+def _dihedral(patch, mode):
+    """One of the 8 dihedral transforms of a square (H, W, C) patch,
+    selected by a traced integer — matches ``data.augment_batch`` modes
+    (rot90 by mode%4, then vertical flip for mode>=4)."""
+    import jax.lax as lax
+
+    branches = []
+    for m in range(8):
+        def branch(p, _m=m):
+            q = jnp.rot90(p, _m % 4, axes=(0, 1))
+            return q[::-1] if _m >= 4 else q
+
+        branches.append(branch)
+    return lax.switch(mode, branches, patch)
+
+
+def stage_to_device(patches: np.ndarray, chunk_bytes: int = 1 << 19):
+    """Move the patch corpus host->device in small chunks.
+
+    The axon TPU link stalls on MB-scale single transfers; ~0.5 MB chunks
+    go through reliably. Concatenation happens on device under jit.
+    """
+    per = int(np.prod(patches.shape[1:])) * 4
+    chunk = max(1, chunk_bytes // per)
+    parts = [
+        jax.device_put(jnp.asarray(patches[i : i + chunk], jnp.float32))
+        for i in range(0, patches.shape[0], chunk)
+    ]
+    if len(parts) == 1:
+        return parts[0]
+    return jax.jit(lambda *cs: jnp.concatenate(cs, axis=0))(*parts)
+
+
+def train_denoiser_ondevice(
+    model,
+    patches: np.ndarray,
+    sigma,
+    steps: int = 1000,
+    batch_size: int = 64,
+    cfg: TrainConfig = TrainConfig(),
+    conditioned: bool = False,
+    ffdnet_style: bool = False,
+    seed: int = 0,
+    log_every: int = 100,
+    params: Any = None,
+    ckpt_cb: Optional[Callable[[int, Any], None]] = None,
+    ckpt_every: int = 0,
+):
+    """All-on-device training loop for link-constrained TPUs.
+
+    The host-batch loop in ``train_denoiser`` ships ~0.6 MB over the wire
+    every step — fine locally, a stall risk over the axon tunnel. Here the
+    corpus is staged once (chunked), and each step fuses batch gather +
+    dihedral augmentation + AWGN synthesis + the optimizer update in ONE
+    jit; the link then only carries a loss scalar every ``log_every``
+    steps and params at checkpoints. The corpus is a jit *argument* (a
+    closed-over device constant would hit axon's UNIMPLEMENTED transfer
+    path).
+    """
+    rng = jax.random.PRNGKey(seed)
+    in_nc = 2 if conditioned else 1
+    ph, pw = patches.shape[1], patches.shape[2]
+    if params is None:
+        dummy = jnp.zeros((1, ph, pw, in_nc), jnp.float32)
+        if ffdnet_style:
+            params = model.init(rng, dummy[..., :1], jnp.asarray(0.1))
+        else:
+            params = model.init(rng, dummy)
+
+    optimizer = make_optimizer(cfg, steps=steps)
+    opt_state = optimizer.init(params)
+
+    if ffdnet_style:
+        def loss_fn(params, noisy, clean, sigma):
+            pred = model.apply(params, noisy, sigma[:, 0, 0, 0])
+            return 0.5 * jnp.mean((pred - clean) ** 2)
+    else:
+        loss_fn = make_loss_fn(model.apply, cfg.loss, conditioned)
+
+    n = patches.shape[0]
+    lo, hi = sigma if isinstance(sigma, tuple) else (sigma, sigma)
+
+    @jax.jit
+    def fused_step(params, opt_state, corpus, key):
+        k_idx, k_aug, k_sig, k_noise = jax.random.split(key, 4)
+        idx = jax.random.randint(k_idx, (batch_size,), 0, n)
+        clean = corpus[idx][..., None]  # (B, H, W, 1)
+        modes = jax.random.randint(k_aug, (batch_size,), 0, 8)
+        clean = jax.vmap(_dihedral)(clean, modes)
+        sig = jax.random.uniform(
+            k_sig, (batch_size, 1, 1, 1), jnp.float32, lo, hi
+        )
+        noisy = clean + sig * jax.random.normal(k_noise, clean.shape, jnp.float32)
+        loss, grads = jax.value_and_grad(loss_fn)(params, noisy, clean, sig)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    corpus = stage_to_device(patches)
+    losses = []
+    key = jax.random.PRNGKey(seed + 1)
+    for i in range(steps):
+        key, sub = jax.random.split(key)
+        params, opt_state, loss = fused_step(params, opt_state, corpus, sub)
+        if i % log_every == 0 or i == steps - 1:
+            losses.append((i, float(loss)))
+        if ckpt_cb is not None and ckpt_every and (i + 1) % ckpt_every == 0:
+            ckpt_cb(i + 1, jax.device_get(params))
+    if ckpt_cb is not None and (not ckpt_every or steps % ckpt_every != 0):
+        ckpt_cb(steps, jax.device_get(params))
+    return params, losses

@@ -47,6 +47,32 @@ class TestTraining:
         last = losses[-1][1]
         assert last < first * 0.8, losses
 
+    def test_ondevice_loss_decreases(self, patches):
+        model = DnCNN(out_nc=1, nc=8, nb=4)
+        params, losses = trainer.train_denoiser_ondevice(
+            model, patches, 0.1, steps=60, batch_size=16, log_every=10,
+            cfg=trainer.TrainConfig(learning_rate=1e-3),
+        )
+        assert losses[-1][1] < losses[0][1] * 0.8, losses
+
+    def test_ondevice_dihedral_matches_host_modes(self, patches):
+        # the traced dihedral must agree with data.augment_batch per mode
+        p = jnp.asarray(patches[:1, ..., None])
+        for m in range(8):
+            ours = np.asarray(trainer._dihedral(p[0], jnp.int32(m)))
+            rng = np.random.default_rng(0)
+            host = patches[:1]
+            k = m % 4
+            host = np.rot90(host, k, axes=(1, 2))
+            if m >= 4:
+                host = host[:, ::-1, :]
+            np.testing.assert_array_equal(ours[..., 0], host[0])
+
+    def test_ondevice_staging_chunked(self, patches):
+        corpus = trainer.stage_to_device(patches, chunk_bytes=patches[0].nbytes * 3)
+        assert corpus.shape == patches.shape
+        np.testing.assert_array_equal(np.asarray(corpus), patches)
+
     def test_conditioned_fdncnn_step(self, patches):
         model = FDnCNN(out_nc=1, nc=8, nb=4)
         params, losses = trainer.train_denoiser(
