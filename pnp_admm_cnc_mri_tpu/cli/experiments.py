@@ -120,8 +120,10 @@ def run_classical(
         cfg = ADMM_L1_DEFAULT if algo == "admm_l1" else ADMM_CNC_DEFAULT
     solver = {"admm_l1": admm.admm_l1, "admm_cnc": admm.admm_cnc}[algo]
 
-    y = jnp.asarray(batch["y"], cdtype)
-    mask = jnp.asarray(batch["mask"], dtype)
+    # cast on the HOST first: a device-side complex128->complex64
+    # convert_element_type is UNIMPLEMENTED on the axon TPU backend
+    y = jnp.asarray(np.asarray(batch["y"]).astype(np.dtype(cdtype)))
+    mask = jnp.asarray(np.asarray(batch["mask"]).astype(np.dtype(dtype)))
 
     t0 = time.perf_counter()
     final, _ = solver(y, mask, cfg, dtype=dtype)
@@ -166,8 +168,10 @@ def run_pnp(
         dtype = jnp.float32
     cdtype = jnp.complex128 if dtype == jnp.float64 else jnp.complex64
 
-    y = jnp.asarray(batch["y"], cdtype)
-    mask = jnp.asarray(batch["mask"], dtype)
+    # cast on the HOST first: a device-side complex128->complex64
+    # convert_element_type is UNIMPLEMENTED on the axon TPU backend
+    y = jnp.asarray(np.asarray(batch["y"]).astype(np.dtype(cdtype)))
+    mask = jnp.asarray(np.asarray(batch["mask"]).astype(np.dtype(dtype)))
 
     t0 = time.perf_counter()
     if scheme == "l1":

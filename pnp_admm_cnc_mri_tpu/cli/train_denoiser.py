@@ -136,6 +136,20 @@ def main(argv=None) -> int:
         center = 12
         bins: dict[int, object] = {}
 
+        def run_train(sig, steps, params=None, seed=0, ckpt_cb=None,
+                      ckpt_every=0):
+            if args.ondevice:
+                return trainer.train_denoiser_ondevice(
+                    model, patches, sig, steps=steps, batch_size=args.batch,
+                    cfg=cfg, params=params, seed=seed, ckpt_cb=ckpt_cb,
+                    ckpt_every=ckpt_every,
+                )
+            return trainer.train_denoiser(
+                model, patches, sig, steps=steps, batch_size=args.batch,
+                cfg=cfg, mesh=mesh, params=params, seed=seed, ckpt_cb=ckpt_cb,
+                ckpt_every=ckpt_every,
+            )
+
         def save_bundle_ckpt(step, p, _path=args.out):
             # replicate the sole trained tree across all 25 bins so the
             # file ALWAYS loads as a valid bundle, even mid-center-bin
@@ -145,9 +159,8 @@ def main(argv=None) -> int:
             print(json.dumps({"ckpt": _path, "step": step, "bin": center}),
                   flush=True)
 
-        p_c, losses = trainer.train_denoiser(
-            model, patches, (2 * center + 1) / 255.0, steps=args.steps,
-            batch_size=args.batch, cfg=cfg, mesh=mesh,
+        p_c, losses = run_train(
+            (2 * center + 1) / 255.0, args.steps,
             ckpt_cb=save_bundle_ckpt if args.ckpt_every else None,
             ckpt_every=args.ckpt_every,
         )
@@ -157,10 +170,9 @@ def main(argv=None) -> int:
             prev = p_c
             b = center + direction
             while 0 <= b <= 24:
-                prev, losses = trainer.train_denoiser(
-                    model, patches, (2 * b + 1) / 255.0,
-                    steps=args.bundle_steps, batch_size=args.batch, cfg=cfg,
-                    mesh=mesh, params=prev, seed=b,
+                prev, losses = run_train(
+                    (2 * b + 1) / 255.0, args.bundle_steps, params=prev,
+                    seed=b,
                 )
                 bins[b] = prev
                 print(json.dumps({"bin": b, "losses": losses[-1:]}), flush=True)
