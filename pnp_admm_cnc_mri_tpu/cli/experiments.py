@@ -68,9 +68,15 @@ def score_and_log(
     if round_uint8:
         img_e = np.float64(np.uint8(img_e.round().clip(0, 255)))
 
-    psnr = np.asarray(metrics_mod.psnr(jnp.asarray(img_e), jnp.asarray(truth)))
-    ssim = np.asarray(metrics_mod.ssim(jnp.asarray(img_e), jnp.asarray(truth)))
-    re = np.asarray(metrics_mod.relative_error(jnp.asarray(img_e), jnp.asarray(truth)))
+    # cast on the HOST to the reconstruction dtype: shipping float64 to the
+    # axon TPU triggers an UNIMPLEMENTED device-side convert (f64 golden
+    # runs execute on CPU where the f64 metric path is preserved)
+    mdt = np.float64 if np.asarray(x).dtype == np.float64 else np.float32
+    img_j = jnp.asarray(img_e.astype(mdt))
+    truth_j = jnp.asarray(np.asarray(truth).astype(mdt))
+    psnr = np.asarray(metrics_mod.psnr(img_j, truth_j))
+    ssim = np.asarray(metrics_mod.ssim(img_j, truth_j))
+    re = np.asarray(metrics_mod.relative_error(img_j, truth_j))
 
     for i, name in enumerate(names):
         log.info(
