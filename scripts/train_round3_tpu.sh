@@ -9,6 +9,18 @@ cd /root/repo
 
 T() { timeout 14000 "$@"; }
 
+# DRUNet first — the one model family with NO shipped weights (round-2 CPU
+# training never finished). Blind sigma in [0,50] with a sigma-map channel,
+# matching the reference checkpoint's training regime (KAIR drunet_gray).
+T python -m pnp_admm_cnc_mri_tpu.cli.train_denoiser --ondevice \
+    --model drunet --sigma 0 --sigma_max 50 --steps 30000 --batch 16 \
+    --patch 64 --multiscale --lr_decay cosine --ckpt_every 500 \
+    --out /tmp/zoo/drunet_gray.npz
+# dncnn_50: in the reference's model list but we never shipped weights.
+T python -m pnp_admm_cnc_mri_tpu.cli.train_denoiser --ondevice \
+    --model dncnn --sigma 50 --steps 50000 --batch 32 \
+    --multiscale --lr_decay cosine --ckpt_every 2000 \
+    --out /tmp/zoo/dncnn_50.npz
 T python -m pnp_admm_cnc_mri_tpu.cli.train_denoiser --ondevice \
     --model fdncnn --sigma 5 --sigma_max 50 --steps 40000 --batch 32 \
     --multiscale --lr_decay cosine --ckpt_every 2000 \
@@ -33,10 +45,4 @@ T python -m pnp_admm_cnc_mri_tpu.cli.train_denoiser --ondevice \
     --model dncnn --sigma 25 --steps 50000 --batch 32 \
     --multiscale --lr_decay cosine --ckpt_every 2000 \
     --out /tmp/zoo/dncnn_25.npz
-# dncnn_50: in the reference's model list (【4】ADMM_CNC .py:197) but we
-# never shipped weights — close the inventory line.
-T python -m pnp_admm_cnc_mri_tpu.cli.train_denoiser --ondevice \
-    --model dncnn --sigma 50 --steps 50000 --batch 32 \
-    --multiscale --lr_decay cosine --ckpt_every 2000 \
-    --out /tmp/zoo/dncnn_50.npz
 echo DONE_ROUND3
