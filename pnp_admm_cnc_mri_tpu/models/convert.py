@@ -139,6 +139,177 @@ def convert_drunet(sd: Dict[str, Any], nb: int = 4) -> Dict[str, Any]:
     return {"params": params}
 
 
+def _fold_bn(kernel: np.ndarray, bias, sd: Dict[str, Any], prefix: str,
+             out_axis: int = 3, eps: float = 1e-4) -> tuple:
+    """Fold an eval-mode BatchNorm2d (reference ``basicblock.conv:72`` —
+    momentum 0.9, eps 1e-4, affine) into the preceding conv:
+    ``w' = w * g/sqrt(v+eps)`` over the output-channel axis,
+    ``b' = (b - mean) * g/sqrt(v+eps) + beta``."""
+    gamma = _np(sd[f"{prefix}.weight"])
+    beta = _np(sd[f"{prefix}.bias"])
+    mean = _np(sd[f"{prefix}.running_mean"])
+    var = _np(sd[f"{prefix}.running_var"])
+    scale = gamma / np.sqrt(var + eps)
+    shape = [1, 1, 1, 1]
+    shape[out_axis] = -1
+    kernel = kernel * scale.reshape(shape)
+    bias = np.zeros_like(mean) if bias is None else np.asarray(bias)
+    return kernel, (bias - mean) * scale + beta
+
+
+def _centry(sd: Dict[str, Any], key: str, bias: bool = True,
+            bn: str | None = None, transpose: bool = False) -> Dict[str, Any]:
+    """One flax conv param dict from torch keys ``<key>.weight[/bias]``,
+    optionally folding the BatchNorm at ``<bn>``."""
+    w = (convt_w if transpose else conv_w)(sd[f"{key}.weight"])
+    b = _np(sd[f"{key}.bias"]) if bias else None
+    if bn is not None:
+        w, b = _fold_bn(w, b, sd, bn, out_axis=2 if transpose else 3)
+    out = {"kernel": w}
+    if b is not None:
+        out["bias"] = b
+    return out
+
+
+def convert_unet(sd: Dict[str, Any], nb: int = 2) -> Dict[str, Any]:
+    """Reference ``UNet`` (``network_unet.py:16-74``): flattened Sequential
+    stages — convs at even slots ('CR' pairs), strideconv/convtranspose
+    samplers at the stage tail/head."""
+    p: Dict[str, Any] = {"head": _centry(sd, "m_head.0"),
+                         "tail": _centry(sd, "m_tail")}
+    for lvl in range(3):
+        t = f"m_down{lvl+1}"
+        for i in range(nb):
+            p[f"down{lvl}_conv{i}"] = _centry(sd, f"{t}.{2*i}")
+        p[f"down{lvl}_ds"] = {"conv": _centry(sd, f"{t}.{2*nb}")}
+    for i in range(nb + 1):
+        p[f"body_conv{i}"] = _centry(sd, f"m_body.{2*i}")
+    for lvl in range(3):
+        t = f"m_up{lvl+1}"
+        p[f"up{lvl}_us"] = {"conv": _centry(sd, f"{t}.0", transpose=True)}
+        for i in range(nb):
+            p[f"up{lvl}_conv{i}"] = _centry(sd, f"{t}.{2*(i+1)}")
+    return {"params": p}
+
+
+def _imd_entry(sd: Dict[str, Any], prefix: str) -> Dict[str, Any]:
+    """IMDBlock (reference ``basicblock.IMDBlock:248-259``, bias-free as
+    used by ResUNet): conv1-3 are 'CL' Sequentials, conv4/conv1x1 bare."""
+    return {
+        "conv1": _centry(sd, f"{prefix}.conv1.0", bias=False),
+        "conv2": _centry(sd, f"{prefix}.conv2.0", bias=False),
+        "conv3": _centry(sd, f"{prefix}.conv3.0", bias=False),
+        "conv4": _centry(sd, f"{prefix}.conv4", bias=False),
+        "conv1x1": _centry(sd, f"{prefix}.conv1x1", bias=False),
+    }
+
+
+def convert_resunet(sd: Dict[str, Any], nb: int = 4) -> Dict[str, Any]:
+    """Reference ``ResUNet`` (``network_unet.py:139-204``)."""
+    p: Dict[str, Any] = {"head": _centry(sd, "m_head", bias=False),
+                         "tail": _centry(sd, "m_tail", bias=False)}
+    for lvl in range(3):
+        t = f"m_down{lvl+1}"
+        for i in range(nb):
+            p[f"down{lvl}_imd{i}"] = _imd_entry(sd, f"{t}.{i}")
+        p[f"down{lvl}_ds"] = {"conv": _centry(sd, f"{t}.{nb}", bias=False)}
+    for i in range(nb):
+        p[f"body_imd{i}"] = _imd_entry(sd, f"m_body.{i}")
+    for lvl in range(3):
+        t = f"m_up{lvl+1}"
+        p[f"up{lvl}_us"] = {"conv": _centry(sd, f"{t}.0", bias=False,
+                                            transpose=True)}
+        for i in range(nb):
+            p[f"up{lvl}_imd{i}"] = _imd_entry(sd, f"{t}.{i+1}")
+    return {"params": p}
+
+
+def convert_unet_res_subp(sd: Dict[str, Any], nb: int = 2) -> Dict[str, Any]:
+    """Reference ``UNetResSubP`` (``network_unet.py:207-265``): biased
+    ResBlocks; samplers are 'conv@nb' down / 'convT@0, blocks@2..' up."""
+
+    def res(prefix):
+        return {"conv1": _centry(sd, f"{prefix}.res.0"),
+                "conv2": _centry(sd, f"{prefix}.res.2")}
+
+    p: Dict[str, Any] = {"head": _centry(sd, "m_head.0"),
+                         "tail": _centry(sd, "m_tail", bias=False)}
+    for lvl in range(3):
+        t = f"m_down{lvl+1}"
+        for i in range(nb):
+            p[f"down{lvl}_res{i}"] = res(f"{t}.{i}")
+        p[f"down{lvl}_ds"] = {"conv": _centry(sd, f"{t}.{nb}")}
+    for i in range(nb + 1):
+        p[f"body_res{i}"] = res(f"m_body.{i}")
+    for lvl in range(3):
+        t = f"m_up{lvl+1}"
+        p[f"up{lvl}_us"] = {"conv": _centry(sd, f"{t}.0", transpose=True)}
+        for i in range(nb):
+            p[f"up{lvl}_res{i}"] = res(f"{t}.{i+2}")
+    return {"params": p}
+
+
+def convert_unet_plus(sd: Dict[str, Any], nb: int = 1) -> Dict[str, Any]:
+    """Reference ``UNetPlus`` with act_mode='BR' — the only act string its
+    ``act_mode[1]`` indexing (``network_unet.py:292-316``) accepts; every
+    'CBR' BatchNorm is folded into its conv."""
+    p: Dict[str, Any] = {"head": _centry(sd, "m_head"),
+                         "tail": _centry(sd, "m_tail")}
+    for lvl in range(3):
+        t = f"m_down{lvl+1}"
+        for i in range(nb):
+            p[f"down{lvl}_conv{i}"] = _centry(sd, f"{t}.{3*i}",
+                                              bn=f"{t}.{3*i+1}")
+        p[f"down{lvl}_ds"] = {"conv": _centry(sd, f"{t}.{3*nb}")}
+    for i in range(nb + 1):
+        p[f"body_conv{i}"] = _centry(sd, f"m_body.{3*i}",
+                                     bn=f"m_body.{3*i+1}")
+    for lvl in range(3):
+        t = f"m_up{lvl+1}"
+        p[f"up{lvl}_us"] = {"conv": _centry(sd, f"{t}.0", bn=f"{t}.1",
+                                            transpose=True)}
+        for i in range(nb - 1):
+            p[f"up{lvl}_conv{i}"] = _centry(sd, f"{t}.{3*(i+1)}",
+                                            bn=f"{t}.{3*(i+1)+1}")
+        p[f"up{lvl}_conv{nb-1}"] = _centry(sd, f"{t}.{3*nb}")
+    return {"params": p}
+
+
+def convert_nonlocal_unet(sd: Dict[str, Any], nb: int = 1) -> Dict[str, Any]:
+    """Reference ``NonLocalUNet`` (``network_unet.py:342-394``): non-local
+    block at slot 0 of m_down3 and the last slot of m_up3; its W conv's
+    BatchNorm ('CB') is folded."""
+
+    def nonlocal_entry(prefix):
+        return {
+            "theta": _centry(sd, f"{prefix}.theta"),
+            "phi": _centry(sd, f"{prefix}.phi"),
+            "g": _centry(sd, f"{prefix}.g"),
+            "w": _centry(sd, f"{prefix}.W.0", bn=f"{prefix}.W.1"),
+        }
+
+    p: Dict[str, Any] = {"head": _centry(sd, "m_head.0"),
+                         "tail": _centry(sd, "m_tail")}
+    for lvl in range(3):
+        t = f"m_down{lvl+1}"
+        off = 1 if lvl == 2 else 0
+        if lvl == 2:
+            p["down_nonlocal"] = nonlocal_entry(f"{t}.0")
+        for i in range(nb):
+            p[f"down{lvl}_conv{i}"] = _centry(sd, f"{t}.{off + 2*i}")
+        p[f"down{lvl}_ds"] = {"conv": _centry(sd, f"{t}.{off + 2*nb}")}
+    for i in range(nb + 1):
+        p[f"body_conv{i}"] = _centry(sd, f"m_body.{2*i}")
+    for lvl in range(3):
+        t = f"m_up{lvl+1}"
+        p[f"up{lvl}_us"] = {"conv": _centry(sd, f"{t}.0", transpose=True)}
+        for i in range(nb):
+            p[f"up{lvl}_conv{i}"] = _centry(sd, f"{t}.{2*(i+1)}")
+        if lvl == 2:
+            p["up_nonlocal"] = nonlocal_entry(f"{t}.{2*(nb+1)}")
+    return {"params": p}
+
+
 CONVERTERS = {
     "dncnn": convert_dncnn,
     "fdncnn": convert_fdncnn,
@@ -146,6 +317,11 @@ CONVERTERS = {
     "ircnn": convert_ircnn,
     "ircnn_bundle": convert_ircnn_bundle,
     "drunet": convert_drunet,
+    "unet": convert_unet,
+    "resunet": convert_resunet,
+    "unet_res_subp": convert_unet_res_subp,
+    "unet_plus": convert_unet_plus,
+    "nonlocal_unet": convert_nonlocal_unet,
 }
 
 
