@@ -60,3 +60,44 @@ class TestProfiling:
         f = lambda x: x * 2
         dt = profiling.device_time(f, jnp.ones((64, 64)))
         assert dt >= 0.0
+
+
+class TestVisualize:
+    """Zoom-box display helpers (reference utils/utils.py:58-109)."""
+
+    def test_draw_box_outline(self):
+        import numpy as np
+
+        from pnp_admm_cnc_mri_tpu.utils.visualize import draw_box
+
+        img = np.zeros((32, 32), np.float32)
+        out = draw_box(img, (4, 6), (20, 26), thickness=2)
+        assert img.sum() == 0  # input untouched
+        assert (out[6:26, 4:6] == 1.0).all()  # left edge
+        assert (out[6:8, 4:20] == 1.0).all()  # top edge
+        assert (out[10:22, 8:16] == 0).all()  # interior clear
+
+    def test_enlarge_region_shapes_and_content(self):
+        import numpy as np
+
+        from pnp_admm_cnc_mri_tpu.utils.visualize import enlarge_region
+
+        rng = np.random.default_rng(0)
+        img = rng.random((40, 48)).astype(np.float32)
+        annotated, enlarged = enlarge_region(img, (8, 10), (24, 30))
+        assert annotated.shape == img.shape and enlarged.shape == img.shape
+        # enlargement resamples only the crop: interior values stay in range
+        crop = img[10:30, 8:24]
+        inner = enlarged[4:-4, 4:-4]
+        assert inner.min() >= crop.min() - 1e-6
+        assert inner.max() <= crop.max() + 1e-6
+
+    def test_uint8_roundtrip(self):
+        import numpy as np
+
+        from pnp_admm_cnc_mri_tpu.utils.visualize import enlarge_region
+
+        img = (np.arange(64 * 64, dtype=np.uint8)).reshape(64, 64)
+        annotated, enlarged = enlarge_region(img, (10, 10), (30, 30))
+        assert annotated.dtype == np.uint8 and enlarged.dtype == np.uint8
+        assert (annotated[10:30, 10:12] == 255).all()
