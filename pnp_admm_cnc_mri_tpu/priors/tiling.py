@@ -8,6 +8,7 @@ Capability parity with the reference's ``utils_model.test_mode`` dispatch
     mode 2: recursive 4-quadrant split with refield-aligned overlap (for
             images too large to denoise in one pass)
     mode 3: x8 dihedral self-ensemble  (see ``denoiser.x8_ensemble``)
+    mode 4: quad-split under the x8 ensemble (``split_x8``)
     mode 5: single-level split
 
 Shapes are static at trace time, so the recursion unrolls during jit —
@@ -78,6 +79,20 @@ def quad_split(
         [outs[2][:, -(h - h2):, :w2, :], outs[3][:, -(h - h2):, -(w - w2):, :]], axis=2
     )
     return jnp.concatenate([rows_top, rows_bot], axis=1)
+
+
+def split_x8(
+    core: Callable,
+    x: jnp.ndarray,
+    refield: int = 32,
+    min_size: int = 256,
+    modulo: int = 1,
+) -> jnp.ndarray:
+    """Mode 4 (reference ``test_split_x8:177-186``): run the recursive
+    quad-split forward inside each of the 8 dihedral ensemble branches."""
+    return x8_ensemble(
+        lambda v: quad_split(core, v, refield, min_size, modulo), x
+    )
 
 
 def one_split(

@@ -103,3 +103,19 @@ def test_onesplit_matches_reference(small_pair, rng):
     np.testing.assert_allclose(
         np.asarray(got).transpose(0, 3, 1, 2), want, rtol=2e-4, atol=2e-5
     )
+
+
+@torch.no_grad()
+def test_split_x8_matches_reference(small_pair, rng):
+    tm, core = small_pair
+    # 48x48 > min_size^2 so every dihedral branch actually splits
+    x = rng.random((1, 1, 48, 48)).astype(np.float32)
+    want = ref_um.test_mode(
+        tm, torch.from_numpy(x), mode=4, refield=8, min_size=16, modulo=1
+    ).numpy()
+    got = tiling.split_x8(
+        core, jnp.asarray(x.transpose(0, 2, 3, 1)), refield=8, min_size=16, modulo=1
+    )
+    np.testing.assert_allclose(
+        np.asarray(got).transpose(0, 3, 1, 2), want, rtol=2e-4, atol=2e-5
+    )
