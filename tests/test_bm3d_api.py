@@ -584,3 +584,53 @@ class TestPilotLambdaSparseScene:
 
         assert psnr(y_hard) > psnr(y_soft) + 8.0, (psnr(y_hard), psnr(y_soft))
         assert psnr(y_hard) > 48.0, psnr(y_hard)  # C oracle: 49.13
+
+
+class TestMultichannel:
+    """bm3d_multichannel: shared first-channel matching (reference
+    bm3d_demo_multichannel.py behavior)."""
+
+    def test_denoises_each_channel(self, rng):
+        import jax.numpy as jnp
+        import numpy as np
+
+        from pnp_admm_cnc_mri_tpu.priors.bm3d import api
+
+        base = np.zeros((48, 48))
+        base[12:36, 12:36] = 0.7
+        y = np.stack([base, 0.5 * base + 0.2], axis=-1)
+        z = y + 0.08 * rng.standard_normal(y.shape)
+        out = np.asarray(api.bm3d_multichannel(jnp.asarray(z, jnp.float32), 0.08))
+        assert out.shape == z.shape
+        for ch in range(2):
+            before = np.mean((z[..., ch] - y[..., ch]) ** 2)
+            after = np.mean((out[..., ch] - y[..., ch]) ** 2)
+            assert after < before / 4
+
+    def test_first_channel_matches_single(self, rng):
+        """Channel 0 filtered alone must equal the multichannel result's
+        channel 0 (matching is computed from channel 0 either way)."""
+        import jax.numpy as jnp
+        import numpy as np
+
+        from pnp_admm_cnc_mri_tpu.priors.bm3d import api
+
+        z0 = rng.random((40, 40)).astype(np.float32)
+        z = np.stack([z0, rng.random((40, 40)).astype(np.float32)], axis=-1)
+        multi = np.asarray(api.bm3d_multichannel(jnp.asarray(z), 0.1))
+        single, _, _ = api.bm3d_with_blockmatches(jnp.asarray(z0), 0.1)
+        np.testing.assert_allclose(multi[..., 0], np.asarray(single),
+                                   atol=2e-6)
+
+    def test_per_channel_sigma_and_white_psd(self, rng):
+        import jax.numpy as jnp
+        import numpy as np
+
+        from pnp_admm_cnc_mri_tpu.priors.bm3d import api
+
+        z = rng.random((32, 32, 2)).astype(np.float32)
+        a = np.asarray(api.bm3d_multichannel(jnp.asarray(z), [0.1, 0.1]))
+        h, w = 32, 32
+        psd = np.full((h, w), 0.01 * h * w)
+        b = np.asarray(api.bm3d_multichannel(jnp.asarray(z), psd))
+        np.testing.assert_allclose(a, b, atol=2e-6)
