@@ -56,6 +56,12 @@ def main(argv=None) -> int:
                         "local path")
     p.add_argument("--resume", default=None,
                    help="npz checkpoint to warm-start from")
+    p.add_argument("--ema", type=float, default=None,
+                   help="EMA decay for weight averaging (e.g. 0.999); the "
+                        "averaged weights are what gets saved (ondevice only)")
+    p.add_argument("--extra_images", default=None,
+                   help="comma list of extra grayscale image files to add to "
+                        "the patch corpus (PNGs; .mat loads var 'image')")
     args = p.parse_args(argv)
 
     import jax
@@ -78,10 +84,23 @@ def main(argv=None) -> int:
         skip = set(args.exclude.split(","))
         keep = [i for i, n in enumerate(names) if n not in skip]
         imgs01 = imgs01[keep]
+    corpus_imgs = list(imgs01)
+    if args.extra_images:
+        for path in args.extra_images.split(","):
+            path = path.strip()
+            if path.endswith(".mat"):
+                import scipy.io as sio
+                arrs = {k: v for k, v in sio.loadmat(path).items()
+                        if not k.startswith("__")}
+                arr = np.abs(np.asarray(next(iter(arrs.values())), np.float64))
+                arr = arr / max(float(arr.max()), 1e-12)
+            else:
+                arr = images.uint2single(images.imread_gray(path))
+            corpus_imgs.append(np.asarray(arr, np.float32))
     if args.multiscale:
-        patches = data_mod.extract_patches_multiscale(list(imgs01), patch=args.patch)
+        patches = data_mod.extract_patches_multiscale(corpus_imgs, patch=args.patch)
     else:
-        patches = data_mod.extract_patches(list(imgs01), patch=args.patch)
+        patches = data_mod.extract_patches(corpus_imgs, patch=args.patch)
 
     conditioned = False
     ffdnet_style = False
@@ -196,6 +215,7 @@ def main(argv=None) -> int:
             model, patches, sigma, steps=args.steps, batch_size=args.batch,
             cfg=cfg, conditioned=conditioned, ffdnet_style=ffdnet_style,
             params=init_params, ckpt_cb=ckpt_cb, ckpt_every=args.ckpt_every,
+            ema_decay=args.ema,
         )
     else:
         params, losses = trainer.train_denoiser(

@@ -235,6 +235,7 @@ def train_denoiser_ondevice(
     params: Any = None,
     ckpt_cb: Optional[Callable[[int, Any], None]] = None,
     ckpt_every: int = 0,
+    ema_decay: Optional[float] = None,
 ):
     """All-on-device training loop for link-constrained TPUs.
 
@@ -271,7 +272,7 @@ def train_denoiser_ondevice(
     lo, hi = sigma if isinstance(sigma, tuple) else (sigma, sigma)
 
     @jax.jit
-    def fused_step(params, opt_state, corpus, key):
+    def fused_step(params, opt_state, ema, corpus, key):
         k_idx, k_aug, k_sig, k_noise = jax.random.split(key, 4)
         idx = jax.random.randint(k_idx, (batch_size,), 0, n)
         clean = corpus[idx][..., None]  # (B, H, W, 1)
@@ -284,18 +285,24 @@ def train_denoiser_ondevice(
         loss, grads = jax.value_and_grad(loss_fn)(params, noisy, clean, sig)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
-        return params, opt_state, loss
+        if ema_decay is not None:
+            ema = jax.tree.map(
+                lambda e, p: ema_decay * e + (1.0 - ema_decay) * p, ema, params
+            )
+        return params, opt_state, ema, loss
 
     corpus = stage_to_device(patches)
     losses = []
     key = jax.random.PRNGKey(seed + 1)
+    ema = params if ema_decay is not None else None
+    out = lambda: ema if ema_decay is not None else params
     for i in range(steps):
         key, sub = jax.random.split(key)
-        params, opt_state, loss = fused_step(params, opt_state, corpus, sub)
+        params, opt_state, ema, loss = fused_step(params, opt_state, ema, corpus, sub)
         if i % log_every == 0 or i == steps - 1:
             losses.append((i, float(loss)))
         if ckpt_cb is not None and ckpt_every and (i + 1) % ckpt_every == 0:
-            ckpt_cb(i + 1, jax.device_get(params))
+            ckpt_cb(i + 1, jax.device_get(out()))
     if ckpt_cb is not None and (not ckpt_every or steps % ckpt_every != 0):
-        ckpt_cb(steps, jax.device_get(params))
-    return params, losses
+        ckpt_cb(steps, jax.device_get(out()))
+    return out(), losses
