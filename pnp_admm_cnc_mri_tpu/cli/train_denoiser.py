@@ -93,6 +93,8 @@ def main(argv=None) -> int:
                 arrs = {k: v for k, v in sio.loadmat(path).items()
                         if not k.startswith("__")}
                 arr = np.abs(np.asarray(next(iter(arrs.values())), np.float64))
+                if arr.ndim == 3:
+                    arr = arr.mean(axis=-1)
                 arr = arr / max(float(arr.max()), 1e-12)
             else:
                 arr = images.uint2single(images.imread_gray(path))
