@@ -142,3 +142,30 @@ def test_npz_round_trip(tmp_path):
     a = fm.apply(params, nchw_to_nhwc(x))
     b = fm.apply(loaded, nchw_to_nhwc(x))
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=0, atol=0)
+
+
+class TestDescribe:
+    def test_describe_model_counts_and_lists(self):
+        import jax
+        import jax.numpy as jnp
+        from pnp_admm_cnc_mri_tpu.models import describe
+        from pnp_admm_cnc_mri_tpu.models.dncnn import DnCNN
+
+        fm = DnCNN(out_nc=1, nc=8, nb=4)
+        params = fm.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 1)))
+        n = describe.num_params(params)
+        assert n == sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
+        msg = describe.describe_model(params, "DnCNN")
+        assert "models name: DnCNN" in msg
+        assert f"Params number: {n}" in msg
+        assert "head" in msg and "tail" in msg
+
+    def test_describe_params_stats_table(self):
+        import numpy as np
+        from pnp_admm_cnc_mri_tpu.models import describe
+
+        params = {"w": np.array([1.0, 2.0, 3.0]), "b": np.zeros((2,))}
+        msg = describe.describe_params(params)
+        # torch-style unbiased std: std([1,2,3], ddof=1) == 1.0
+        assert " |  2.000 |  1.000 |  3.000 |  1.000 || w" in msg
+        assert "param_name" in msg
