@@ -45,22 +45,36 @@ def main(argv=None) -> int:
     from pnp_admm_cnc_mri_tpu.solvers import admm
     from pnp_admm_cnc_mri_tpu.utils import logger as logger_mod
 
+    # Synthesize the observation batch ON DEVICE: MB-scale host->device
+    # transfers stall through the axon tunnel (see bench.py). Only the
+    # 256x256 mask/noise assets (<1 MB) and the PRNG key cross it, as jit
+    # ARGUMENTS (closed-over device constants hit UNIMPLEMENTED fetches).
     mask = masks.load_mask("Q_Random30")
     kn = noise.load_noise()
-    rng = np.random.default_rng(0)
-    imgs = rng.random((args.batch, 256, 256))
-    y = jnp.asarray(
-        (np.fft.fft2(imgs, axes=(-2, -1)) * mask + kn).astype(np.complex64)
-    )
+
+    # complex64 host->device transfers are UNIMPLEMENTED on axon: ship the
+    # noise as two f32 planes and recombine on device.
+    @jax.jit
+    def synth(key, m_host, kn_re, kn_im):
+        imgs = jax.random.uniform(key, (args.batch, 256, 256), jnp.float32)
+        kn_dev = kn_re + 1j * kn_im
+        return (jnp.fft.fft2(imgs, axes=(-2, -1)) * m_host + kn_dev).astype(
+            jnp.complex64)
+
     m = jnp.asarray(mask, jnp.float32)
+    y = synth(jax.random.PRNGKey(0), m,
+              jnp.asarray(np.real(kn), jnp.float32),
+              jnp.asarray(np.imag(kn), jnp.float32))
 
     def timed(solve_fn, n_iters, batch):
-        out = solve_fn()
-        float(jnp.mean(out))  # compile
+        # The solver jits return an on-device SCALAR (mean reduced inside
+        # jit): fetching anything else through the axon tunnel hits
+        # UNIMPLEMENTED transfers.
+        float(solve_fn())  # compile
         times = []
         for _ in range(3):
             t0 = time.perf_counter()
-            float(jnp.mean(solve_fn()))
+            float(solve_fn())
             times.append(time.perf_counter() - t0)
         dt = min(times)
         return batch * n_iters / dt, dt
@@ -91,7 +105,7 @@ def main(argv=None) -> int:
         fn = jax.jit(
             lambda y, m, _solver=solver, _cfg=cfg, _fused=fused: _solver(
                 y, m, _cfg, dtype=jnp.float32, fused=_fused
-            )[0].x
+            )[0].x.mean()
         )
         ips, dt = timed(lambda: fn(y, m), args.iter_num, args.batch)
         record(name, ips, dt)
@@ -100,7 +114,7 @@ def main(argv=None) -> int:
     den = dn.build_denoiser("dncnn_15")
     cfg_d = ADMMConfig(iter_num=args.iter_num, rho=0.15)
     fn = jax.jit(
-        lambda y, m: admm.pnp_admm_l1(y, m, cfg_d, den, dtype=jnp.float32)[0].x
+        lambda y, m: admm.pnp_admm_l1(y, m, cfg_d, den, dtype=jnp.float32)[0].x.mean()
     )
     small = y[: max(1, args.batch // 8)]
     ips, dt = timed(lambda: fn(small, m), args.iter_num, small.shape[0])
@@ -112,7 +126,7 @@ def main(argv=None) -> int:
         one = y[:1]
         fn = jax.jit(
             lambda y, m: admm.pnp_admm_l1(y, m, cfg_b, den_b, clamp=False,
-                                          dtype=jnp.float32)[0].x
+                                          dtype=jnp.float32)[0].x.mean()
         )
         ips, dt = timed(lambda: fn(one, m), 5, 1)
         record("pnp_bm3d_5it", ips, dt, {"batch": 1, "iters": 5})
