@@ -174,6 +174,68 @@ def run_admm_tol(
     return state, i
 
 
+def run_admm_adaptive(
+    y: jnp.ndarray,
+    mask: jnp.ndarray,
+    iter_num: int,
+    rho0,
+    z_update,
+    gamma: float = 1.2,
+    eta: float = 0.95,
+    clamp: bool = False,
+    dtype=jnp.float32,
+    collect: bool = False,
+):
+    """Adaptive-rho PnP-ADMM with the residual-balancing continuation rule
+    of Chan, Wang & Elgendy, "Plug-and-Play ADMM for Image Restoration:
+    Fixed Point Convergence and Applications" (IEEE TCI 2017; PAPERS.md).
+    New capability — the reference always runs a fixed, hand-tuned rho.
+
+    Per iteration the combined residual
+    ``D_k = (||x_k - x_{k-1}|| + ||z_k - z_{k-1}|| + ||w_k - w_{k-1}||)/sqrt(n)``
+    is monitored per batch element; whenever it fails to shrink by factor
+    ``eta``, that element's penalty is multiplied by ``gamma``. NOTE the
+    framework's ``rho`` follows the reference's ``reo = 1/beta`` convention
+    (``【4】ADMM_CNC .py:40``), the INVERSE of the paper's augmented-
+    Lagrangian penalty — so the continuation *divides* rho by ``gamma``
+    (monotone nonincreasing rho = monotone nondecreasing beta, the paper's
+    fixed-point convergence condition for bounded denoisers). With
+    ``gamma=1`` this reduces exactly to the fixed-rho ``run_admm``
+    (cross-tested).
+
+    ``z_update(i, x, z, w, rho)`` — the extra trailing ``rho`` argument
+    (broadcastable ``(..., 1, 1)``) lets classical priors keep their
+    rho-dependent thresholds as rho adapts; denoiser priors may ignore it.
+    Returns ``(final_state, (rhos, deltas))`` traces when ``collect``.
+    """
+    state0 = init_state(y, dtype)
+    batch_shape = state0.x.shape[:-2]
+    n = state0.x.shape[-2] * state0.x.shape[-1]
+    rho_init = jnp.broadcast_to(jnp.asarray(rho0, dtype), batch_shape)
+
+    def norm(a):
+        return jnp.sqrt(jnp.sum(a * a, axis=(-2, -1)))
+
+    def step(carry, i):
+        state, rho, delta_prev = carry
+        rho_b = rho[..., None, None]
+        x = fourier.data_consistency(state.z - state.w, y, mask, rho_b)
+        x = x.astype(state.z.dtype)
+        z = z_update(i, x, state.z, state.w, rho_b)
+        w = state.w + x - z
+        if clamp:
+            x, z, w = prox.clip01(x), prox.clip01(z), prox.clip01(w)
+        delta = (norm(x - state.x) + norm(z - state.z)
+                 + norm(w - state.w)) / jnp.sqrt(jnp.asarray(n, dtype))
+        rho_new = jnp.where(delta >= eta * delta_prev, rho / gamma, rho)
+        out = (rho, delta) if collect else None
+        return (ADMMState(x=x, z=z, w=w), rho_new, delta), out
+
+    init = (state0, rho_init, jnp.full(batch_shape, jnp.inf, dtype))
+    (final, _, _), trace = jax.lax.scan(step, init, jnp.arange(iter_num))
+    return final, trace
+
+
 # ---------------------------------------------------------------------------
 # The four solver families over the generic driver
 # ---------------------------------------------------------------------------
@@ -211,6 +273,34 @@ def admm_l1(y, mask, cfg: ADMMConfig, dtype=jnp.float32, fused: bool = True, **k
 
         tail = lambda i, x, z, w: pallas_kernels.l1_tail(x, z, w, cfg.rho * cfg.lam)
     return run_admm(y, mask, cfg.iter_num, cfg.rho, z_update, dtype=dtype, tail=tail, **kw)
+
+
+def admm_l1_adaptive(y, mask, cfg: ADMMConfig, gamma: float = 1.2,
+                     eta: float = 0.95, dtype=jnp.float32, collect: bool = False):
+    """ADMM-L1 with Chan-style rho continuation (``run_admm_adaptive``):
+    the soft-threshold tracks the adapting rho, ``soft(x+w, rho_k*lam)``."""
+
+    def z_update(i, x, z, w, rho_b):
+        return prox.soft(x + w, rho_b * cfg.lam)
+
+    return run_admm_adaptive(y, mask, cfg.iter_num, cfg.rho, z_update,
+                             gamma=gamma, eta=eta, dtype=dtype, collect=collect)
+
+
+def pnp_admm_l1_adaptive(y, mask, cfg: ADMMConfig, denoise,
+                         gamma: float = 1.2, eta: float = 0.95,
+                         clamp: bool = True, dtype=jnp.float32,
+                         collect: bool = False):
+    """PnP-ADMM (denoiser prior) with Chan-style rho continuation; the
+    denoiser ignores the adapting rho (its strength is iteration-scheduled),
+    matching the paper's usage with off-the-shelf denoisers."""
+
+    def z_update(i, x, z, w, rho_b):
+        return denoise(x + w, i)
+
+    return run_admm_adaptive(y, mask, cfg.iter_num, cfg.rho, z_update,
+                             gamma=gamma, eta=eta, clamp=clamp, dtype=dtype,
+                             collect=collect)
 
 
 def admm_cnc(y, mask, cfg: ADMMConfig, dtype=jnp.float32, fused: bool = True, **kw):
