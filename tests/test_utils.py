@@ -101,3 +101,120 @@ class TestVisualize:
         annotated, enlarged = enlarge_region(img, (10, 10), (30, 30))
         assert annotated.dtype == np.uint8 and enlarged.dtype == np.uint8
         assert (annotated[10:30, 10:12] == 255).all()
+
+
+class TestImageConversions:
+    """Color/augment helpers vs the reference's literal formulas
+    (utils_image.py:315-530; the module itself needs torchvision and
+    cannot be imported, so the formulas are inlined as oracles)."""
+
+    def _ref_rgb2ycbcr(self, img, only_y=True):
+        in_img_type = img.dtype
+        img = img.copy().astype(np.float64)
+        if in_img_type != np.uint8:
+            img *= 255.0
+        if only_y:
+            rlt = np.dot(img, [65.481, 128.553, 24.966]) / 255.0 + 16.0
+        else:
+            rlt = np.matmul(img, [[65.481, -37.797, 112.0],
+                                  [128.553, -74.203, -93.786],
+                                  [24.966, 112.0, -18.214]]) / 255.0 + [16, 128, 128]
+        if in_img_type == np.uint8:
+            rlt = rlt.round()
+        else:
+            rlt /= 255.0
+        return rlt.astype(in_img_type)
+
+    def test_rgb2ycbcr_uint8_and_float(self, rng):
+        from pnp_admm_cnc_mri_tpu.data import images
+
+        u8 = (rng.random((6, 5, 3)) * 255).astype(np.uint8)
+        np.testing.assert_array_equal(images.rgb2ycbcr(u8),
+                                      self._ref_rgb2ycbcr(u8))
+        np.testing.assert_array_equal(images.rgb2ycbcr(u8, only_y=False),
+                                      self._ref_rgb2ycbcr(u8, only_y=False))
+        f = rng.random((6, 5, 3)).astype(np.float32)
+        np.testing.assert_allclose(images.rgb2ycbcr(f),
+                                   self._ref_rgb2ycbcr(f), atol=1e-6)
+
+    def test_bgr_is_reversed_rgb(self, rng):
+        from pnp_admm_cnc_mri_tpu.data import images
+
+        f = rng.random((4, 4, 3)).astype(np.float64)
+        np.testing.assert_allclose(images.bgr2ycbcr(f),
+                                   images.rgb2ycbcr(f[..., ::-1]), atol=1e-12)
+        full_b = images.bgr2ycbcr(f, only_y=False)
+        full_r = images.rgb2ycbcr(f[..., ::-1], only_y=False)
+        np.testing.assert_allclose(full_b, full_r, atol=1e-12)
+
+    def test_ycbcr_roundtrip(self, rng):
+        from pnp_admm_cnc_mri_tpu.data import images
+
+        rgb = (rng.random((8, 8, 3)) * 0.6 + 0.2).astype(np.float64)
+        back = images.ycbcr2rgb(images.rgb2ycbcr(rgb, only_y=False))
+        np.testing.assert_allclose(back, rgb, atol=2e-3)
+
+    def test_input_not_mutated(self, rng):
+        """Documented deviation: the reference's float path mutates the
+        caller's array in place; ours must not."""
+        from pnp_admm_cnc_mri_tpu.data import images
+
+        f = rng.random((4, 4, 3))
+        f0 = f.copy()
+        images.rgb2ycbcr(f)
+        np.testing.assert_array_equal(f, f0)
+
+    def test_augment_img_modes(self, rng):
+        from pnp_admm_cnc_mri_tpu.data import images
+
+        img = rng.random((5, 7))
+        expected = [
+            img,
+            np.flipud(np.rot90(img)),
+            np.flipud(img),
+            np.rot90(img, k=3),
+            np.flipud(np.rot90(img, k=2)),
+            np.rot90(img),
+            np.rot90(img, k=2),
+            np.flipud(np.rot90(img, k=3)),
+        ]
+        for mode in range(8):
+            np.testing.assert_array_equal(images.augment_img(img, mode),
+                                          expected[mode])
+        # all 8 are distinct on an asymmetric image
+        flats = {images.augment_img(img, m).tobytes() for m in range(8)}
+        assert len(flats) == 8
+
+    def test_shave_and_uint16(self, rng):
+        from pnp_admm_cnc_mri_tpu.data import images
+
+        img = rng.random((8, 10, 3))
+        np.testing.assert_array_equal(images.shave(img, 2), img[2:6, 2:8])
+        u16 = images.single2uint16(np.array([0.0, 0.5, 1.0, 1.5]))
+        assert u16.dtype == np.uint16
+        np.testing.assert_array_equal(u16, [0, 32768, 65535, 65535])
+        np.testing.assert_allclose(images.uint162single(u16),
+                                   [0, 32768 / 65535, 1, 1], atol=1e-7)
+
+    def test_imread_uint_and_channel_convert(self, tmp_path, rng):
+        from pnp_admm_cnc_mri_tpu.data import images
+        import cv2
+
+        gray = (rng.random((6, 6)) * 255).astype(np.uint8)
+        p = str(tmp_path / "g.png")
+        cv2.imwrite(p, gray)
+        one = images.imread_uint(p, n_channels=1)
+        assert one.shape == (6, 6, 1)
+        np.testing.assert_array_equal(one[..., 0], gray)
+        three = images.imread_uint(p, n_channels=3)
+        assert three.shape == (6, 6, 3)
+        np.testing.assert_array_equal(three[..., 0], three[..., 2])
+
+        bgr = (rng.random((4, 4, 3)) * 255).astype(np.uint8)
+        [g] = images.channel_convert(3, "gray", [bgr])
+        assert g.shape == (4, 4, 1)
+        [yy] = images.channel_convert(3, "y", [bgr])
+        assert yy.shape == (4, 4, 1)
+        [back] = images.channel_convert(1, "RGB", [gray])
+        assert back.shape == (6, 6, 3)
+        assert images.is_image_file("a.png") and not images.is_image_file("a.txt")
