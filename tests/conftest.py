@@ -22,6 +22,11 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
+# Persistent compilation cache: the suite is dominated by BM3D/solver jit
+# compiles; caching them across runs cuts repeat wall-clock several-fold.
+jax.config.update("jax_compilation_cache_dir", "/tmp/pnpadmm_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
