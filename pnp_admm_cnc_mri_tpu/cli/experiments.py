@@ -99,6 +99,25 @@ def score_and_log(
     return avg
 
 
+def _device_complex(arr: np.ndarray, cdtype, dtype):
+    """Put a host complex array on device, axon-safely.
+
+    complex host->device transfers are UNIMPLEMENTED on the axon TPU
+    backend (and device-side complex128->complex64 converts likewise):
+    cast on the host, and on non-CPU backends ship the real/imag planes
+    as two real arrays recombined in a one-op jit.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    host = np.asarray(arr).astype(np.dtype(cdtype))
+    if jax.devices()[0].platform == "cpu":
+        return jnp.asarray(host)
+    re = jnp.asarray(np.real(host).astype(np.dtype(dtype)))
+    im = jnp.asarray(np.imag(host).astype(np.dtype(dtype)))
+    return jax.jit(lambda a, b: (a + 1j * b).astype(cdtype))(re, im)
+
+
 def run_classical(
     algo: str = "admm_l1",
     testset: str = "set1",
@@ -126,9 +145,7 @@ def run_classical(
         cfg = ADMM_L1_DEFAULT if algo == "admm_l1" else ADMM_CNC_DEFAULT
     solver = {"admm_l1": admm.admm_l1, "admm_cnc": admm.admm_cnc}[algo]
 
-    # cast on the HOST first: a device-side complex128->complex64
-    # convert_element_type is UNIMPLEMENTED on the axon TPU backend
-    y = jnp.asarray(np.asarray(batch["y"]).astype(np.dtype(cdtype)))
+    y = _device_complex(batch["y"], cdtype, dtype)
     mask = jnp.asarray(np.asarray(batch["mask"]).astype(np.dtype(dtype)))
 
     t0 = time.perf_counter()
@@ -174,9 +191,7 @@ def run_pnp(
         dtype = jnp.float32
     cdtype = jnp.complex128 if dtype == jnp.float64 else jnp.complex64
 
-    # cast on the HOST first: a device-side complex128->complex64
-    # convert_element_type is UNIMPLEMENTED on the axon TPU backend
-    y = jnp.asarray(np.asarray(batch["y"]).astype(np.dtype(cdtype)))
+    y = _device_complex(batch["y"], cdtype, dtype)
     mask = jnp.asarray(np.asarray(batch["mask"]).astype(np.dtype(dtype)))
 
     t0 = time.perf_counter()
