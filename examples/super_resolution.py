@@ -54,14 +54,18 @@ def main(argv=None):
     x0 = jnp.kron(y, jnp.ones((args.sf, args.sf), y.dtype))
     psnr0 = float(metrics.psnr(x0 * 255.0, jnp.asarray(truth_u8, jnp.float32)))
 
-    # HQS: x-update = closed-form data solution, z-update = denoiser with
-    # the reference's get_rho_sigma ladder (utils_pnp.py:14-23), the same
-    # schedule the DRUNet/IRCNN priors condition on.
+    # HQS: x-update = closed-form data solution, z-update = denoiser.
+    # ONE get_rho_sigma ladder (utils_pnp.py:14-23) drives both the rho
+    # weights and the denoiser's sigma conditioning — the DPIR recipe
+    # (modelSigma2 = max(sf, noise*255)); a mismatched pair over-smooths.
+    nlm = float(max(args.sf, 1.5))
     denoise = dn.build_denoiser(args.model, iter_num=args.iters,
-                                weights=dn.resolve_weights(args.model))
+                                weights=dn.resolve_weights(args.model),
+                                noise_level_model=nlm / 255.0)
     fb, fbc, f2b, fbfy = sisr.pre_calculate(y, kj, args.sf)
     rhos, _sigmas = schedules.get_rho_sigma(sigma=1.5 / 255.0,
-                                            iter_num=args.iters)
+                                            iter_num=args.iters,
+                                            model_sigma2=nlm)
 
     z = x0
     for i in range(args.iters):

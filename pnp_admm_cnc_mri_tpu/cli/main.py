@@ -122,10 +122,13 @@ def main(argv=None) -> int:
 
         t0 = _time.perf_counter()
         zs = []
+        from pnp_admm_cnc_mri_tpu.cli.experiments import _device_complex
+
         for img in imgs01:
             ys = np.fft.fft2(img[None], axes=(-2, -1)) * all_masks + kn
             z, _ = consensus.run_consensus(
-                jnp.asarray(ys, cdt), jnp.asarray(all_masks, dtp), cfg, dtype=dtp
+                _device_complex(ys, cdt, dtp), jnp.asarray(all_masks, dtp),
+                cfg, dtype=dtp
             )
             zs.append(np.asarray(z))
         out = score_and_log(

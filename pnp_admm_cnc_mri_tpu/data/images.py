@@ -16,9 +16,10 @@ from typing import List
 import numpy as np
 
 IMG_EXTENSIONS = (
-    ".png", ".jpg", ".jpeg", ".bmp", ".tif", ".ppm",
-    ".PNG", ".JPG", ".JPEG", ".BMP", ".TIF",
-)  # reference utils_image.py:22 accepts both cases
+    ".jpg", ".JPG", ".jpeg", ".JPEG", ".png", ".PNG",
+    ".ppm", ".PPM", ".bmp", ".BMP", ".tif",
+)  # the reference's exact list (utils_image.py:22): uppercase variants
+#    for all but .tif
 
 DEFAULT_TESTSETS = os.environ.get("PNPADMM_TESTSETS", "/root/reference/testsets")
 
@@ -184,7 +185,7 @@ def _ycbcr_common(img: np.ndarray, mat, offset):
     x = np.asarray(img, np.float64)
     if in_type != np.uint8:
         x = x * 255.0
-    rlt = x @ mat + offset if np.ndim(mat) == 2 else x @ mat + offset
+    rlt = x @ mat + offset
     if in_type == np.uint8:
         rlt = rlt.round()
     else:

@@ -90,11 +90,9 @@ def data_solution(z, fb, fbc, f2b, fbfy, alpha, sf: int):
 
 
 def _block_sum(a: jnp.ndarray, sf: int) -> jnp.ndarray:
-    """Sum over the sf x sf aliasing blocks (reference ``BlockMM:50``)."""
-    h, w = a.shape[-2:]
-    hs, ws = h // sf, w // sf
-    a = a.reshape(a.shape[:-2] + (sf, hs, sf, ws))
-    return jnp.sum(a, axis=(-4, -2))
+    """Sum over the sf x sf aliasing blocks (reference ``BlockMM:50``) —
+    the block mean scaled by the block count."""
+    return _block_mean(a, sf) * (sf * sf)
 
 
 def invls(fb, fbc, f2b, fr, tau, sf: int):
