@@ -218,3 +218,18 @@ class TestImageConversions:
         [back] = images.channel_convert(1, "RGB", [gray])
         assert back.shape == (6, 6, 3)
         assert images.is_image_file("a.png") and not images.is_image_file("a.txt")
+
+
+class TestDeviceComplex:
+    def test_cpu_path_exact(self, rng):
+        import jax.numpy as jnp
+        from pnp_admm_cnc_mri_tpu.cli.experiments import _device_complex
+
+        host = rng.random((4, 4)) + 1j * rng.random((4, 4))
+        out = _device_complex(host, jnp.complex128, jnp.float64)
+        assert out.dtype == jnp.complex128
+        np.testing.assert_allclose(np.asarray(out), host, rtol=0, atol=0)
+        out32 = _device_complex(host, jnp.complex64, jnp.float32)
+        assert out32.dtype == jnp.complex64
+        np.testing.assert_allclose(np.asarray(out32),
+                                   host.astype(np.complex64), rtol=0, atol=0)
