@@ -50,7 +50,8 @@ class TestFourier:
             single = fourier.data_consistency(
                 jnp.asarray(imgs[i]), jnp.asarray(ys[i]), jnp.asarray(mask), 0.1
             )
-            np.testing.assert_allclose(np.asarray(out[i]), np.asarray(single), rtol=1e-12)
+            np.testing.assert_allclose(np.asarray(out[i]), np.asarray(single),
+                                       rtol=1e-12, atol=1e-12)
 
 
 class TestProx:
@@ -165,7 +166,12 @@ class TestRFFTDataConsistency:
             single = fourier.data_consistency(
                 jnp.asarray(v[i]), jnp.asarray(y[i]), jnp.asarray(mask), 0.1
             )
-            np.testing.assert_allclose(np.asarray(got[i]), np.asarray(single), rtol=1e-12)
+            # atol guards near-zero pixels: the half-spectrum path is the
+            # same math reassociated, so f64 rounding can differ in the
+            # last ulps of tiny values (seen order-dependently via the
+            # session rng in full-suite runs)
+            np.testing.assert_allclose(np.asarray(got[i]), np.asarray(single),
+                                       rtol=1e-12, atol=1e-12)
 
 
 class TestMatmulDFT:
