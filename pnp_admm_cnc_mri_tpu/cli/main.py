@@ -51,6 +51,17 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--bf16", action="store_true",
                    help="run the denoiser conv stack in bfloat16 (TPU MXU "
                         "fast path; measured quality-neutral, +-0.04 dB)")
+    p.add_argument("--tuned", action="store_true",
+                   help="apply the framework's tuned settings for this "
+                        "algorithm/model (config.TUNED_*, docs/USAGE.md "
+                        "table) instead of the reference defaults; explicit "
+                        "flags still override")
+    p.add_argument("--nlm", type=float, default=None,
+                   help="denoiser noise-level / sigma-ladder endpoint on the "
+                        "reference's [0,255] scale (default: per-model 15)")
+    p.add_argument("--model_sigma1", type=float, default=None,
+                   help="sigma-ladder start for drunet/ircnn schedules "
+                        "(reference utils_pnp.py:14 default 49)")
     p.add_argument("--x8", action="store_true",
                    help="x8 dihedral augmentation for the denoiser prior "
                         "(default ON for pnp_l1_d drunet, like the reference)")
@@ -152,6 +163,10 @@ def main(argv=None) -> int:
             if args.algo == "pnp_l1_bm3d"
             else cfg_mod.PNP_CNC_BM3D_DEFAULT
         )
+        if args.tuned:
+            import dataclasses as _dc
+
+            base = _dc.replace(base, **cfg_mod.TUNED_BM3D[args.algo])
         cfg = _merge_cfg(base, args)
         denoise = bm3d_prior.make_bm3d_denoiser()
         out = experiments.run_pnp(
@@ -169,31 +184,59 @@ def main(argv=None) -> int:
         if args.algo == "pnp_l1_d":
             it, rho = cfg_mod.PNP_L1_DEFAULTS.get(args.model, (50, 0.25))
             base = cfg_mod.ADMMConfig(iter_num=it, rho=rho)
+            tuned = cfg_mod.TUNED_PNP_L1.get(args.model, {}) if args.tuned else {}
         else:
             key = "dncnn_pair" if (args.model2 and "dncnn" in args.model) else args.model
             a, it, lam, rho, b = cfg_mod.PNP_CNC_DEFAULTS.get(key, (0.9, 50, 0.2, 0.45, 0.3))
             base = cfg_mod.ADMMConfig(iter_num=it, lam=lam, rho=rho, alpha=a, b=b)
+            tuned = cfg_mod.TUNED_PNP_CNC.get(key, {}) if args.tuned else {}
+        if tuned:
+            import dataclasses as _dc
+
+            cfg_keys = {f.name for f in _dc.fields(cfg_mod.ADMMConfig)}
+            base = _dc.replace(
+                base, **{k: v for k, v in tuned.items() if k in cfg_keys}
+            )
+            if args.nlm is None:
+                args.nlm = tuned.get("nlm")
         cfg = _merge_cfg(base, args)
 
         # reference default: 【3】 runs drunet WITH per-iteration x8 cycling
         # (x8=True survives only the drunet branch); 【6】 (CNC) runs x8=False
         x8 = args.x8 or (args.algo == "pnp_l1_d" and "drunet" in args.model)
+        if tuned and not args.x8:
+            x8 = tuned.get("x8", x8)
         if args.no_x8:
             x8 = False
         import jax.numpy as _jnp
 
         cdt = _jnp.bfloat16 if args.bf16 else None
+
+        def _nlm_for(model_name):
+            # build_denoiser's noise_level_model is on [0,1] for the
+            # sigma-ladder models (ircnn/drunet) and [0,255] for ffdnet;
+            # the flag is uniformly on the reference's [0,255] scale.
+            if args.nlm is None:
+                return None
+            if "ircnn" in model_name or "drunet" in model_name:
+                return args.nlm / 255.0
+            return args.nlm
+
+        extra = {}
+        if args.model_sigma1 is not None:
+            extra["model_sigma1"] = args.model_sigma1
         weights = denoiser_mod.resolve_weights(args.model, args.weights)
         denoise = denoiser_mod.build_denoiser(
             args.model, weights=weights, iter_num=cfg.iter_num, x8=x8,
-            compute_dtype=cdt,
+            compute_dtype=cdt, noise_level_model=_nlm_for(args.model), **extra,
         )
         denoise2 = None
         if args.model2:
             weights2 = denoiser_mod.resolve_weights(args.model2, args.weights2)
             denoise2 = denoiser_mod.build_denoiser(
                 args.model2, weights=weights2, iter_num=cfg.iter_num, x8=x8,
-                compute_dtype=cdt,
+                compute_dtype=cdt, noise_level_model=_nlm_for(args.model2),
+                **extra,
             )
         out = experiments.run_pnp(
             denoise,

@@ -211,6 +211,15 @@ def main(argv=None) -> int:
     init_params = None
     if args.resume:
         init_params = convert.load_npz(args.resume)
+        # zoo checkpoints may be stored f16 (deployment size); training
+        # must run f32 or the optimizer state inherits half precision
+        import jax as _jax
+
+        init_params = _jax.tree.map(
+            lambda a: np.asarray(a, np.float32)
+            if np.asarray(a).dtype == np.float16 else a,
+            init_params,
+        )
 
     if args.ondevice:
         params, losses = trainer.train_denoiser_ondevice(

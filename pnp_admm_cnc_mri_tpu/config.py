@@ -73,6 +73,34 @@ ADMM_CNC_DEFAULT = ADMMConfig(iter_num=50, lam=0.5, rho=0.05, alpha=0.45, b=64.0
 PNP_L1_BM3D_DEFAULT = ADMMConfig(iter_num=50, rho=0.8)
 PNP_CNC_BM3D_DEFAULT = ADMMConfig(iter_num=50, lam=0.02, rho=0.6, alpha=1.2, b=36.0)
 
+# Tuned settings (new capability; docs/USAGE.md): short-iteration schedules
+# + per-model noise-level endpoints found by sweep against the self-trained
+# zoo weights on set1/Q_Random30, validated on the full 15-image set. The
+# reference's own numbers are likewise sweep last-runs
+# (``results/Set1_dn_*_gray/*.log``). Keys: ADMMConfig overrides plus the
+# denoiser knobs ``nlm`` ([0,255] scale) and ``x8``. Applied by the CLI's
+# ``--tuned`` flag; explicit flags still win.
+TUNED_PNP_L1 = {
+    "dncnn_15": dict(iter_num=4, rho=1.0),
+    "dncnn_25": dict(iter_num=4, rho=1.2),
+    "dncnn_50": dict(iter_num=4, rho=3.0),
+    "fdncnn_gray": dict(iter_num=4, rho=1.2),
+    "ffdnet_gray": dict(iter_num=4, rho=0.8, nlm=12.0),
+    "ircnn_gray": dict(iter_num=15, rho=0.65, nlm=8.0),
+    "drunet_gray": dict(iter_num=4, rho=0.45, nlm=5.0, x8=False),
+}
+TUNED_PNP_CNC = {
+    "fdncnn_gray": dict(iter_num=4, alpha=2.0),
+    "ffdnet_gray": dict(iter_num=4, alpha=1.8),
+    "ircnn_gray": dict(iter_num=6, alpha=1.0, nlm=8.0),
+    "drunet_gray": dict(iter_num=4, alpha=1.8),
+    "dncnn_pair": dict(iter_num=5, alpha=0.7),
+}
+TUNED_BM3D = {
+    "pnp_l1_bm3d": dict(iter_num=3, rho=2.5),
+    "pnp_cnc_bm3d": dict(iter_num=4, alpha=1.6),
+}
+
 MASK_NAMES: Tuple[str, ...] = ("Q_Random30", "Q_Radial30", "Q_Cartesian30")
 MODEL_NAMES: Tuple[str, ...] = (
     "fdncnn_gray",

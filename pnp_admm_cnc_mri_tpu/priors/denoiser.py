@@ -162,6 +162,7 @@ def build_denoiser(
     weights: Optional[str] = None,
     iter_num: int = 50,
     noise_level_model: Optional[float] = None,
+    model_sigma1: float = 49.0,
     x8: Optional[bool] = None,
     noises: Optional[np.ndarray] = None,
     allow_random_init: bool = True,
@@ -231,7 +232,7 @@ def build_denoiser(
         nlm = 15.0 / 255.0 if noise_level_model is None else noise_level_model
         _, sigmas = schedules.get_rho_sigma(
             sigma=max(0.255 / 255.0, nlm), iter_num=iter_num,
-            model_sigma1=49.0, model_sigma2=nlm * 255.0,
+            model_sigma1=model_sigma1, model_sigma2=nlm * 255.0,
         )
         idx = jnp.asarray(schedules.ircnn_sigma_indices(sigmas))
         stacked = params if params is not None else _load_ircnn_stack(
@@ -270,7 +271,7 @@ def build_denoiser(
         nlm = 15.0 / 255.0 if noise_level_model is None else noise_level_model
         _, sigmas = schedules.get_rho_sigma(
             sigma=max(0.255 / 255.0, nlm), iter_num=iter_num,
-            model_sigma1=49.0, model_sigma2=nlm * 255.0,
+            model_sigma1=model_sigma1, model_sigma2=nlm * 255.0,
         )
         sigmas_d = jnp.asarray(sigmas, compute_dtype or param_dtype)
         if params is None:

@@ -1,0 +1,56 @@
+"""CLI surface tests: flag plumbing for the tuned-settings path.
+
+The golden end-to-end CLI values are covered by tests/test_golden.py; these
+are fast checks that the new knobs (--tuned / --nlm / --model_sigma1) reach
+the solver and denoiser builders.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+
+import pytest
+
+from pnp_admm_cnc_mri_tpu import config as cfg_mod
+
+
+def test_tuned_registry_keys_are_valid():
+    cfg_keys = {f.name for f in dataclasses.fields(cfg_mod.ADMMConfig)}
+    allowed = cfg_keys | {"nlm", "x8"}
+    for table in (cfg_mod.TUNED_PNP_L1, cfg_mod.TUNED_PNP_CNC, cfg_mod.TUNED_BM3D):
+        for name, tuned in table.items():
+            extra = set(tuned) - allowed
+            assert not extra, f"{name}: unknown tuned keys {extra}"
+
+
+def test_tuned_models_cover_the_reference_model_names():
+    # every reference model name has a tuned L1 entry (docs/USAGE.md table)
+    assert set(cfg_mod.TUNED_PNP_L1) == set(cfg_mod.MODEL_NAMES)
+
+
+@pytest.mark.parametrize("extra", [[], ["--tuned"], ["--nlm", "8"]])
+def test_cli_admm_and_pnp_run(tmp_path, capsys, extra):
+    from pnp_admm_cnc_mri_tpu.cli import main as cli_main
+
+    argv = [
+        "pnp_l1_d", "--cpu", "--model", "dncnn_25", "--iter_num", "2",
+        "--testset", "set1", "--no_save", "--results_dir", str(tmp_path),
+    ] + extra
+    assert cli_main.main(argv) == 0
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    out = json.loads(line)
+    assert out["psnr"] > 20.0  # trained zoo weights, 2 iterations
+
+
+def test_cli_tuned_overridden_by_explicit_flag(tmp_path, capsys):
+    from pnp_admm_cnc_mri_tpu.cli import main as cli_main
+
+    argv = [
+        "pnp_l1_d", "--cpu", "--model", "ircnn_gray", "--tuned",
+        "--iter_num", "2", "--testset", "set1", "--no_save",
+        "--results_dir", str(tmp_path),
+    ]
+    assert cli_main.main(argv) == 0
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    assert json.loads(line)["iters"] == 2  # explicit flag beat tuned's 15

@@ -44,19 +44,27 @@ class TestResolveWeights:
 
 @pytest.mark.parametrize("name", SHIPPED)
 def test_shipped_checkpoint_denoises(name):
-    """Every committed npz must beat the noisy input by >=2 dB at sigma=15
-    on a smooth synthetic scene (random-init nets *add* noise here)."""
+    """Every committed npz must beat the noisy input by >=5 dB at sigma=15
+    on a smooth synthetic scene (random-init nets *add* noise here).
+
+    Evaluated at the LAST schedule index so the sigma-ladder models
+    (drunet/ircnn) see their matched endpoint sigma rather than the
+    ladder start (49/255 — 3x the actual noise, where margins say more
+    about the schedule than the checkpoint). noise_level_model is on
+    [0,1] for drunet/ircnn and [0,255] for ffdnet (build_denoiser
+    convention)."""
     rng = np.random.default_rng(0)
     xx, yy = np.meshgrid(np.arange(96), np.arange(96))
     x = (0.5 + 0.25 * np.sin(xx / 9.0) * np.cos(yy / 7.0)).astype(np.float32)
     z = x + rng.normal(0, 15 / 255.0, x.shape).astype(np.float32)
 
+    nlm = 15.0 if "ffdnet" in name else 15.0 / 255.0
     denoise = dn.build_denoiser(name, weights=dn.resolve_weights(name),
-                                noise_level_model=15.0,
+                                noise_level_model=nlm,
                                 noises=np.full(x.shape, 15.0, np.complex128))
-    y = np.asarray(denoise(jnp.asarray(z)[None], 0))[0]
+    y = np.asarray(denoise(jnp.asarray(z)[None], 49))[0]
 
     def psnr(a):
         return 10 * np.log10(1.0 / np.mean((a - x) ** 2))
 
-    assert psnr(y) > psnr(z) + 2.0, (name, psnr(y), psnr(z))
+    assert psnr(y) > psnr(z) + 5.0, (name, psnr(y), psnr(z))
