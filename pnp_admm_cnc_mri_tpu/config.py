@@ -84,13 +84,13 @@ TUNED_PNP_L1 = {
     "dncnn_15": dict(iter_num=4, rho=1.0),
     "dncnn_25": dict(iter_num=4, rho=1.2),
     "dncnn_50": dict(iter_num=4, rho=3.0),
-    "fdncnn_gray": dict(iter_num=4, rho=1.2),
+    "fdncnn_gray": dict(iter_num=4, rho=0.8, nlm=12.0),
     "ffdnet_gray": dict(iter_num=4, rho=0.8, nlm=12.0),
     "ircnn_gray": dict(iter_num=15, rho=0.65, nlm=8.0),
     "drunet_gray": dict(iter_num=4, rho=0.45, nlm=5.0, x8=False),
 }
 TUNED_PNP_CNC = {
-    "fdncnn_gray": dict(iter_num=4, alpha=2.0),
+    "fdncnn_gray": dict(iter_num=4, alpha=1.6, nlm=12.0),
     "ffdnet_gray": dict(iter_num=4, alpha=1.8),
     "ircnn_gray": dict(iter_num=6, alpha=1.0, nlm=8.0),
     "drunet_gray": dict(iter_num=4, alpha=1.8),

@@ -216,8 +216,18 @@ def build_denoiser(
             from pnp_admm_cnc_mri_tpu.data import noise as noise_mod
 
             noises = noise_mod.load_noise()
-        noise_map = jnp.asarray(np.abs(noises) / 255.0,
-                                compute_dtype or param_dtype)
+        if noise_level_model is not None:
+            # Constant sigma map (canonical FDnCNN conditioning; [0,255]
+            # scale like ffdnet — matches how the self-trained weights are
+            # conditioned). Default (None) keeps the reference's quirk of
+            # feeding the k-space noise MAGNITUDE IMAGE (``【3】:27-31``).
+            noise_map = jnp.full(
+                np.asarray(noises).shape, noise_level_model / 255.0,
+                compute_dtype or param_dtype,
+            )
+        else:
+            noise_map = jnp.asarray(np.abs(noises) / 255.0,
+                                    compute_dtype or param_dtype)
         params = _maybe_cast(params)
 
         def denoise(v, i):

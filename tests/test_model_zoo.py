@@ -58,7 +58,7 @@ def test_shipped_checkpoint_denoises(name):
     x = (0.5 + 0.25 * np.sin(xx / 9.0) * np.cos(yy / 7.0)).astype(np.float32)
     z = x + rng.normal(0, 15 / 255.0, x.shape).astype(np.float32)
 
-    nlm = 15.0 if "ffdnet" in name else 15.0 / 255.0
+    nlm = 15.0 if ("ffdnet" in name or "fdncnn" in name) else 15.0 / 255.0
     denoise = dn.build_denoiser(name, weights=dn.resolve_weights(name),
                                 noise_level_model=nlm,
                                 noises=np.full(x.shape, 15.0, np.complex128))
