@@ -213,3 +213,76 @@ def run_pnp(
     avg["images"] = len(batch["names"])
     avg["iters"] = cfg.iter_num
     return avg
+
+
+def run_sr(
+    model_name: str = "drunet_gray",
+    sf: int = 2,
+    iter_num: int = 8,
+    nlm: Optional[float] = None,
+    noise_sigma255: float = 1.5,
+    testset: str = "set1",
+    testsets_dir: Optional[str] = None,
+    results_dir: str = "results",
+    save_images: bool = True,
+    weights: Optional[str] = None,
+    seed: int = 0,
+) -> Dict[str, float]:
+    """PnP super-resolution over a testset (new capability; the reference
+    vendors ``utils/utils_sisr.py`` unused — it cannot run on modern torch).
+
+    DPIR-style HQS: anisotropic-Gaussian blur + ``sf``-fold decimation +
+    Gaussian noise as the degradation, then alternate the closed-form
+    frequency-domain data solution (``ops/sisr.data_solution``) with a
+    model-zoo denoiser, both driven by ONE ``get_rho_sigma`` ladder
+    (``utils/utils_pnp.py:14-23``; modelSigma2 = max(sf, noise*255)).
+    The whole testset reconstructs as one batched program.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from pnp_admm_cnc_mri_tpu.ops import schedules, sisr
+    from pnp_admm_cnc_mri_tpu.priors import denoiser as denoiser_mod
+
+    testsets_dir = testsets_dir or images.DEFAULT_TESTSETS
+    imgs01, _, names = images.load_testset(os.path.join(testsets_dir, testset))
+    # modcrop to sf*8 so decimation and the denoiser pads stay aligned
+    m = sf * 8
+    h, w = imgs01.shape[-2:]
+    imgs01 = imgs01[..., : h - h % m, : w - w % m]
+    x_true = jnp.asarray(imgs01, jnp.float32)
+    truth255 = np.asarray(imgs01) * 255.0
+
+    k = jnp.asarray(sisr.anisotropic_gaussian(ksize=9, theta=0.7, l1=2.5, l2=1.0),
+                    jnp.float32)
+    y = sisr.classical_degradation(x_true, k, sf)
+    y = y + (noise_sigma255 / 255.0) * jax.random.normal(
+        jax.random.PRNGKey(seed), y.shape, y.dtype)
+
+    x0 = jnp.kron(y, jnp.ones((sf, sf), y.dtype))
+    eff_nlm = float(max(sf, noise_sigma255)) if nlm is None else float(nlm)
+    denoise = denoiser_mod.build_denoiser(
+        model_name, iter_num=iter_num,
+        weights=denoiser_mod.resolve_weights(model_name, weights),
+        noise_level_model=(eff_nlm / 255.0
+                           if ("ircnn" in model_name or "drunet" in model_name)
+                           else eff_nlm),
+    )
+    fb, fbc, f2b, fbfy = sisr.pre_calculate(y, k, sf)
+    rhos, _sigmas = schedules.get_rho_sigma(
+        sigma=noise_sigma255 / 255.0, iter_num=iter_num, model_sigma2=eff_nlm)
+
+    t0 = time.perf_counter()
+    z = x0
+    for i in range(iter_num):
+        x = sisr.data_solution(z, fb, fbc, f2b, fbfy, float(rhos[i]), sf)
+        z = jnp.clip(denoise(x, i), 0.0, 1.0)
+    z = np.asarray(jax.block_until_ready(z))
+    dt = time.perf_counter() - t0
+
+    result_name = f"{testset}_sr{sf}_{model_name}"
+    avg = score_and_log(z, truth255, names, result_name, results_dir, save_images)
+    avg["wall_s"] = dt
+    avg["images"] = len(names)
+    avg["iters"] = iter_num
+    return avg

@@ -30,8 +30,11 @@ def build_parser() -> argparse.ArgumentParser:
             "pnp_l1_d",
             "pnp_cnc_d",
             "consensus_l1",
+            "pnp_sr",
         ],
     )
+    p.add_argument("--sf", type=int, default=2,
+                   help="pnp_sr only: super-resolution factor")
     p.add_argument("--testset", default="set1")
     p.add_argument("--mask", default="Q_Random30")
     p.add_argument("--iter_num", type=int, default=None)
@@ -150,6 +153,18 @@ def main(argv=None) -> int:
         out["wall_s"] = _time.perf_counter() - t0
         out["images"] = len(names)
         out["iters"] = cfg.iter_num
+    elif args.algo == "pnp_sr":
+        out = experiments.run_sr(
+            model_name=args.model,
+            sf=args.sf,
+            iter_num=args.iter_num or 8,
+            nlm=args.nlm,
+            testset=args.testset,
+            testsets_dir=args.testsets_dir,
+            results_dir=args.results_dir,
+            save_images=not args.no_save,
+            weights=args.weights,
+        )
     elif args.algo in ("admm_l1", "admm_cnc"):
         base = cfg_mod.ADMM_L1_DEFAULT if args.algo == "admm_l1" else cfg_mod.ADMM_CNC_DEFAULT
         out = experiments.run_classical(
@@ -168,7 +183,15 @@ def main(argv=None) -> int:
 
             base = _dc.replace(base, **cfg_mod.TUNED_BM3D[args.algo])
         cfg = _merge_cfg(base, args)
-        denoise = bm3d_prior.make_bm3d_denoiser()
+        # --nlm maps to the BM3D sigma on the reference's [0,255] scale
+        # (default: the reference's get_experiment_noise var=0.03, i.e.
+        # sigma = sqrt(0.03) ~ 44/255).
+        if args.nlm is not None:
+            denoise = bm3d_prior.make_bm3d_denoiser(
+                noise_var=(args.nlm / 255.0) ** 2
+            )
+        else:
+            denoise = bm3d_prior.make_bm3d_denoiser()
         out = experiments.run_pnp(
             denoise,
             cfg,

@@ -54,3 +54,17 @@ def test_cli_tuned_overridden_by_explicit_flag(tmp_path, capsys):
     assert cli_main.main(argv) == 0
     line = capsys.readouterr().out.strip().splitlines()[-1]
     assert json.loads(line)["iters"] == 2  # explicit flag beat tuned's 15
+
+
+def test_cli_pnp_sr(tmp_path, capsys):
+    from pnp_admm_cnc_mri_tpu.cli import main as cli_main
+
+    argv = [
+        "pnp_sr", "--cpu", "--model", "dncnn_25", "--iter_num", "2",
+        "--sf", "2", "--testset", "set1", "--no_save",
+        "--results_dir", str(tmp_path),
+    ]
+    assert cli_main.main(argv) == 0
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    out = json.loads(line)
+    assert out["psnr"] > 24.0  # well above the ~22 dB zero-fill upsample
