@@ -181,7 +181,13 @@ def main(argv=None) -> int:
         if args.tuned:
             import dataclasses as _dc
 
-            base = _dc.replace(base, **cfg_mod.TUNED_BM3D[args.algo])
+            tuned = cfg_mod.TUNED_BM3D[args.algo]
+            cfg_keys = {f.name for f in _dc.fields(cfg_mod.ADMMConfig)}
+            base = _dc.replace(
+                base, **{k: v for k, v in tuned.items() if k in cfg_keys}
+            )
+            if args.nlm is None:
+                args.nlm = tuned.get("nlm")
         cfg = _merge_cfg(base, args)
         # --nlm maps to the BM3D sigma on the reference's [0,255] scale
         # (default: the reference's get_experiment_noise var=0.03, i.e.

@@ -97,8 +97,8 @@ TUNED_PNP_CNC = {
     "dncnn_pair": dict(iter_num=5, alpha=0.7),
 }
 TUNED_BM3D = {
-    "pnp_l1_bm3d": dict(iter_num=3, rho=2.5),
-    "pnp_cnc_bm3d": dict(iter_num=4, alpha=1.6),
+    "pnp_l1_bm3d": dict(iter_num=3, rho=1.0, nlm=15.0),
+    "pnp_cnc_bm3d": dict(iter_num=4, alpha=1.6, nlm=25.0),
 }
 
 MASK_NAMES: Tuple[str, ...] = ("Q_Random30", "Q_Radial30", "Q_Cartesian30")
