@@ -61,7 +61,7 @@ def main(argv=None):
     nlm = float(max(args.sf, 1.5))
     denoise = dn.build_denoiser(args.model, iter_num=args.iters,
                                 weights=dn.resolve_weights(args.model),
-                                noise_level_model=nlm / 255.0)
+                                noise_level_model=dn.nlm_for_model(args.model, nlm))
     fb, fbc, f2b, fbfy = sisr.pre_calculate(y, kj, args.sf)
     rhos, _sigmas = schedules.get_rho_sigma(sigma=1.5 / 255.0,
                                             iter_num=args.iters,

@@ -227,6 +227,9 @@ def run_sr(
     save_images: bool = True,
     weights: Optional[str] = None,
     seed: int = 0,
+    x8: bool = False,
+    model_sigma1: Optional[float] = None,
+    bf16: bool = False,
 ) -> Dict[str, float]:
     """PnP super-resolution over a testset (new capability; the reference
     vendors ``utils/utils_sisr.py`` unused — it cannot run on modern torch).
@@ -261,12 +264,14 @@ def run_sr(
 
     x0 = jnp.kron(y, jnp.ones((sf, sf), y.dtype))
     eff_nlm = float(max(sf, noise_sigma255)) if nlm is None else float(nlm)
+    extra = {}
+    if model_sigma1 is not None:
+        extra["model_sigma1"] = model_sigma1
     denoise = denoiser_mod.build_denoiser(
         model_name, iter_num=iter_num,
         weights=denoiser_mod.resolve_weights(model_name, weights),
-        noise_level_model=(eff_nlm / 255.0
-                           if ("ircnn" in model_name or "drunet" in model_name)
-                           else eff_nlm),
+        noise_level_model=denoiser_mod.nlm_for_model(model_name, eff_nlm),
+        x8=x8, compute_dtype=jnp.bfloat16 if bf16 else None, **extra,
     )
     fb, fbc, f2b, fbfy = sisr.pre_calculate(y, k, sf)
     rhos, _sigmas = schedules.get_rho_sigma(

@@ -85,6 +85,22 @@ def _merge_cfg(base, args):
     return dataclasses.replace(base, **updates)
 
 
+def _apply_tuned(base, tuned, args):
+    """Apply a config.TUNED_* entry: ADMMConfig fields replace the base,
+    the denoiser knob ``nlm`` backfills the flag (explicit flags win)."""
+    import dataclasses
+
+    from pnp_admm_cnc_mri_tpu import config as cfg_mod
+
+    cfg_keys = {f.name for f in dataclasses.fields(cfg_mod.ADMMConfig)}
+    base = dataclasses.replace(
+        base, **{k: v for k, v in tuned.items() if k in cfg_keys}
+    )
+    if args.nlm is None:
+        args.nlm = tuned.get("nlm")
+    return base
+
+
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
 
@@ -164,6 +180,9 @@ def main(argv=None) -> int:
             results_dir=args.results_dir,
             save_images=not args.no_save,
             weights=args.weights,
+            x8=args.x8,
+            model_sigma1=args.model_sigma1,
+            bf16=args.bf16,
         )
     elif args.algo in ("admm_l1", "admm_cnc"):
         base = cfg_mod.ADMM_L1_DEFAULT if args.algo == "admm_l1" else cfg_mod.ADMM_CNC_DEFAULT
@@ -179,15 +198,7 @@ def main(argv=None) -> int:
             else cfg_mod.PNP_CNC_BM3D_DEFAULT
         )
         if args.tuned:
-            import dataclasses as _dc
-
-            tuned = cfg_mod.TUNED_BM3D[args.algo]
-            cfg_keys = {f.name for f in _dc.fields(cfg_mod.ADMMConfig)}
-            base = _dc.replace(
-                base, **{k: v for k, v in tuned.items() if k in cfg_keys}
-            )
-            if args.nlm is None:
-                args.nlm = tuned.get("nlm")
+            base = _apply_tuned(base, cfg_mod.TUNED_BM3D[args.algo], args)
         cfg = _merge_cfg(base, args)
         # --nlm maps to the BM3D sigma on the reference's [0,255] scale
         # (default: the reference's get_experiment_noise var=0.03, i.e.
@@ -220,14 +231,7 @@ def main(argv=None) -> int:
             base = cfg_mod.ADMMConfig(iter_num=it, lam=lam, rho=rho, alpha=a, b=b)
             tuned = cfg_mod.TUNED_PNP_CNC.get(key, {}) if args.tuned else {}
         if tuned:
-            import dataclasses as _dc
-
-            cfg_keys = {f.name for f in _dc.fields(cfg_mod.ADMMConfig)}
-            base = _dc.replace(
-                base, **{k: v for k, v in tuned.items() if k in cfg_keys}
-            )
-            if args.nlm is None:
-                args.nlm = tuned.get("nlm")
+            base = _apply_tuned(base, tuned, args)
         cfg = _merge_cfg(base, args)
 
         # reference default: 【3】 runs drunet WITH per-iteration x8 cycling
@@ -242,14 +246,8 @@ def main(argv=None) -> int:
         cdt = _jnp.bfloat16 if args.bf16 else None
 
         def _nlm_for(model_name):
-            # build_denoiser's noise_level_model is on [0,1] for the
-            # sigma-ladder models (ircnn/drunet) and [0,255] for ffdnet;
-            # the flag is uniformly on the reference's [0,255] scale.
-            if args.nlm is None:
-                return None
-            if "ircnn" in model_name or "drunet" in model_name:
-                return args.nlm / 255.0
-            return args.nlm
+            # the flag is on the reference's [0,255] scale for all models
+            return denoiser_mod.nlm_for_model(model_name, args.nlm)
 
         extra = {}
         if args.model_sigma1 is not None:

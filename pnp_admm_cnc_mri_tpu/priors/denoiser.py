@@ -116,6 +116,21 @@ DEFAULT_MODEL_ZOO = os.path.abspath(
 )
 
 
+def nlm_for_model(model_name: str, nlm255: Optional[float]) -> Optional[float]:
+    """Convert a noise level on the reference's [0,255] scale to
+    ``build_denoiser``'s ``noise_level_model`` convention: [0,1] for the
+    sigma-ladder models (ircnn/drunet), [0,255] for ffdnet/fdncnn.
+
+    The single place this scale logic lives — used by the CLI, ``run_sr``
+    and the examples so they cannot diverge."""
+    if nlm255 is None:
+        return None
+    name = model_name.lower()
+    if "ircnn" in name or "drunet" in name:
+        return nlm255 / 255.0
+    return float(nlm255)
+
+
 def resolve_weights(model_name: str, weights: Optional[str] = None,
                     model_zoo: Optional[str] = None) -> Optional[str]:
     """Resolve a weights path for a model name.
@@ -212,27 +227,31 @@ def build_denoiser(
             params = _load_params(model, weights, convert.convert_fdncnn, nb=nb or 20,
                                   allow_random=allow_random_init, dtype=param_dtype,
                                   in_nc=2)
-        if noises is None:
-            from pnp_admm_cnc_mri_tpu.data import noise as noise_mod
-
-            noises = noise_mod.load_noise()
         if noise_level_model is not None:
             # Constant sigma map (canonical FDnCNN conditioning; [0,255]
             # scale like ffdnet — matches how the self-trained weights are
-            # conditioned). Default (None) keeps the reference's quirk of
-            # feeding the k-space noise MAGNITUDE IMAGE (``【3】:27-31``).
-            noise_map = jnp.full(
-                np.asarray(noises).shape, noise_level_model / 255.0,
-                compute_dtype or param_dtype,
-            )
+            # conditioned), built from the input's own shape at call time.
+            # Default (None) keeps the reference's quirk of feeding the
+            # k-space noise MAGNITUDE IMAGE (``【3】:27-31``).
+            noise_map = None
+            nlm01 = noise_level_model / 255.0
         else:
+            if noises is None:
+                from pnp_admm_cnc_mri_tpu.data import noise as noise_mod
+
+                noises = noise_mod.load_noise()
             noise_map = jnp.asarray(np.abs(noises) / 255.0,
                                     compute_dtype or param_dtype)
         params = _maybe_cast(params)
 
         def denoise(v, i):
             x, restore = _as_nhwc(v, compute_dtype)
-            nm = jnp.broadcast_to(noise_map[None, :, :, None], x.shape).astype(x.dtype)
+            if noise_map is None:
+                nm = jnp.full_like(x[..., :1], nlm01)
+            else:
+                nm = jnp.broadcast_to(
+                    noise_map[None, :, :, None], x.shape
+                ).astype(x.dtype)
             return restore(model.apply(params, jnp.concatenate([x, nm], axis=-1)))
 
         return denoise
