@@ -215,6 +215,104 @@ def run_pnp(
     return avg
 
 
+DEBLUR_KERNELS = ("aniso", "gauss", "box")
+
+
+def make_blur_kernel(kernel: str = "aniso"):
+    """Named blur kernels for the deblurring pipeline (host NumPy).
+
+    'aniso' — anisotropic Gaussian (reference ``utils_sisr.py:692-711``
+    tooling), 'gauss' — isotropic Gaussian via ``gm_blur_kernel``
+    (``utils_sisr.py:714-724``), 'box' — 9x9 uniform motion-free box blur.
+    """
+    import numpy as _np
+
+    from pnp_admm_cnc_mri_tpu.ops import sisr
+
+    if kernel == "aniso":
+        return sisr.anisotropic_gaussian(ksize=15, theta=0.25 * _np.pi, l1=3.0, l2=1.0)
+    if kernel == "gauss":
+        return sisr.gm_blur_kernel(mean=[0.0, 0.0], cov=[[2.0, 0.0], [0.0, 2.0]], size=15)
+    if kernel == "box":
+        return _np.full((9, 9), 1.0 / 81.0)
+    raise ValueError(f"unknown blur kernel '{kernel}' (want one of {DEBLUR_KERNELS})")
+
+
+def run_deblur(
+    model_name: str = "drunet_gray",
+    kernel: str = "aniso",
+    iter_num: int = 8,
+    nlm: Optional[float] = None,
+    noise_sigma255: float = 2.55,
+    testset: str = "set1",
+    testsets_dir: Optional[str] = None,
+    results_dir: str = "results",
+    save_images: bool = True,
+    weights: Optional[str] = None,
+    seed: int = 0,
+    x8: bool = False,
+    model_sigma1: Optional[float] = None,
+    bf16: bool = False,
+) -> Dict[str, float]:
+    """PnP non-blind deblurring over a testset (new capability; the sf=1
+    sibling of :func:`run_sr`, completing the DPIR degradation family the
+    reference vendors unused in ``utils/utils_sisr.py``).
+
+    Degradation: circular blur (``ops/sisr.wrap_convolve``) + Gaussian
+    noise. Solver: DPIR-style HQS alternating the diagonal frequency-domain
+    data solve (``ops/sisr.deblur_solution``) with a model-zoo denoiser,
+    both driven by one ``get_rho_sigma`` ladder (``utils/utils_pnp.py:14``).
+    The whole testset reconstructs as one batched program.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from pnp_admm_cnc_mri_tpu.ops import schedules, sisr
+    from pnp_admm_cnc_mri_tpu.priors import denoiser as denoiser_mod
+
+    testsets_dir = testsets_dir or images.DEFAULT_TESTSETS
+    imgs01, _, names = images.load_testset(os.path.join(testsets_dir, testset))
+    h, w = imgs01.shape[-2:]
+    imgs01 = imgs01[..., : h - h % 8, : w - w % 8]
+    x_true = jnp.asarray(imgs01, jnp.float32)
+    truth255 = np.asarray(imgs01) * 255.0
+
+    k = jnp.asarray(make_blur_kernel(kernel), jnp.float32)
+    y = sisr.wrap_convolve(x_true, k)
+    y = y + (noise_sigma255 / 255.0) * jax.random.normal(
+        jax.random.PRNGKey(seed), y.shape, y.dtype)
+
+    eff_nlm = float(max(1.0, noise_sigma255)) if nlm is None else float(nlm)
+    extra = {}
+    if model_sigma1 is not None:
+        extra["model_sigma1"] = model_sigma1
+    denoise = denoiser_mod.build_denoiser(
+        model_name, iter_num=iter_num,
+        weights=denoiser_mod.resolve_weights(model_name, weights),
+        noise_level_model=denoiser_mod.nlm_for_model(model_name, eff_nlm),
+        x8=x8, compute_dtype=jnp.bfloat16 if bf16 else None, **extra,
+    )
+    _fb, _fbc, f2b, fbfy = sisr.pre_calculate(y, k, 1)
+    rhos, _sigmas = schedules.get_rho_sigma(
+        sigma=max(noise_sigma255, 0.1) / 255.0, iter_num=iter_num,
+        model_sigma2=eff_nlm)
+
+    t0 = time.perf_counter()
+    z = y
+    for i in range(iter_num):
+        x = sisr.deblur_solution(z, f2b, fbfy, float(rhos[i]))
+        z = jnp.clip(denoise(x, i), 0.0, 1.0)
+    z = np.asarray(jax.block_until_ready(z))
+    dt = time.perf_counter() - t0
+
+    result_name = f"{testset}_deblur_{kernel}_{model_name}"
+    avg = score_and_log(z, truth255, names, result_name, results_dir, save_images)
+    avg["wall_s"] = dt
+    avg["images"] = len(names)
+    avg["iters"] = iter_num
+    return avg
+
+
 def run_sr(
     model_name: str = "drunet_gray",
     sf: int = 2,

@@ -31,10 +31,17 @@ def build_parser() -> argparse.ArgumentParser:
             "pnp_cnc_d",
             "consensus_l1",
             "pnp_sr",
+            "pnp_deblur",
         ],
     )
     p.add_argument("--sf", type=int, default=2,
                    help="pnp_sr only: super-resolution factor")
+    p.add_argument("--kernel", default="aniso",
+                   choices=["aniso", "gauss", "box"],
+                   help="pnp_deblur only: blur kernel")
+    p.add_argument("--noise_sigma", type=float, default=None,
+                   help="pnp_sr/pnp_deblur: degradation noise sigma on the "
+                        "[0,255] scale (defaults: sr 1.5, deblur 2.55)")
     p.add_argument("--testset", default="set1")
     p.add_argument("--mask", default="Q_Random30")
     p.add_argument("--iter_num", type=int, default=None)
@@ -169,13 +176,19 @@ def main(argv=None) -> int:
         out["wall_s"] = _time.perf_counter() - t0
         out["images"] = len(names)
         out["iters"] = cfg.iter_num
-    elif args.algo == "pnp_sr":
-        out = experiments.run_sr(
+    elif args.algo in ("pnp_sr", "pnp_deblur"):
+        runner = experiments.run_sr if args.algo == "pnp_sr" else experiments.run_deblur
+        extra = (
+            {"sf": args.sf} if args.algo == "pnp_sr" else {"kernel": args.kernel}
+        )
+        if args.noise_sigma is not None:
+            extra["noise_sigma255"] = args.noise_sigma
+        out = runner(
             model_name=args.model,
-            sf=args.sf,
             iter_num=args.iter_num or 8,
             nlm=args.nlm,
             testset=args.testset,
+            **extra,
             testsets_dir=args.testsets_dir,
             results_dir=args.results_dir,
             save_images=not args.no_save,

@@ -89,6 +89,23 @@ def data_solution(z, fb, fbc, f2b, fbfy, alpha, sf: int):
     return jnp.real(jnp.fft.ifft2(fx, axes=(-2, -1)))
 
 
+def deblur_solution(z, f2b, fbfy, alpha):
+    """Closed-form x-update for pure (sf=1) deblurring.
+
+    With no decimation the Woodbury identity of :func:`data_solution`
+    collapses to the diagonal frequency-domain Wiener-type solve
+
+        Fx = (FBC*Fy + alpha*Fz) / (|FB|^2 + alpha)
+
+    — the same solve DPIR's deblurring demo uses. Algebraically identical
+    to ``data_solution(..., sf=1)`` (cross-tested); kept as a dedicated
+    entry point because it avoids the block-split bookkeeping entirely.
+    """
+    fr = fbfy + alpha * jnp.fft.fft2(z, axes=(-2, -1))
+    fx = fr / (f2b + alpha)
+    return jnp.real(jnp.fft.ifft2(fx, axes=(-2, -1)))
+
+
 def _block_sum(a: jnp.ndarray, sf: int) -> jnp.ndarray:
     """Sum over the sf x sf aliasing blocks (reference ``BlockMM:50``) —
     the block mean scaled by the block count."""

@@ -68,3 +68,17 @@ def test_cli_pnp_sr(tmp_path, capsys):
     line = capsys.readouterr().out.strip().splitlines()[-1]
     out = json.loads(line)
     assert out["psnr"] > 24.0  # well above the ~22 dB zero-fill upsample
+
+
+def test_cli_pnp_deblur(tmp_path, capsys):
+    from pnp_admm_cnc_mri_tpu.cli import main as cli_main
+
+    argv = [
+        "pnp_deblur", "--cpu", "--model", "dncnn_25", "--iter_num", "2",
+        "--kernel", "aniso", "--testset", "set1", "--no_save",
+        "--results_dir", str(tmp_path),
+    ]
+    assert cli_main.main(argv) == 0
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    out = json.loads(line)
+    assert out["psnr"] > 27.0  # well above the blurred observation (~24 dB)

@@ -65,6 +65,19 @@ class TestSISR:
         got = np.asarray(sisr.data_solution(jnp.asarray(z), fb, fbc, f2b, fbfy, alpha, sf))
         np.testing.assert_allclose(got, want, rtol=1e-8, atol=1e-10)
 
+    def test_deblur_solution_is_data_solution_sf1(self, rng):
+        """The dedicated sf=1 deblurring solve and the general Woodbury
+        form collapse to the same answer."""
+        k = rng.random((3, 3))
+        k /= k.sum()
+        y = jnp.asarray(rng.random((2, 8, 8)))
+        z = jnp.asarray(rng.random((2, 8, 8)))
+        alpha = 0.42
+        fb, fbc, f2b, fbfy = sisr.pre_calculate(y, jnp.asarray(k), 1)
+        got = np.asarray(sisr.deblur_solution(z, f2b, fbfy, alpha))
+        want = np.asarray(sisr.data_solution(z, fb, fbc, f2b, fbfy, alpha, 1))
+        np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-11)
+
     def test_upsample_downsample_adjoint(self, rng):
         """S and S^T must be adjoint: <Sx, y> == <x, S^T y>."""
         x = jnp.asarray(rng.random((8, 8)))
