@@ -215,6 +215,32 @@ def run_pnp(
     return avg
 
 
+def _restoration_prior(
+    model_name, iter_num, eff_nlm, sigmas, weights, x8, model_sigma1, bf16
+):
+    """Denoiser prior for the DPIR-style restoration pipelines
+    (``run_sr``/``run_deblur``): a model-zoo CNN, or ladder-driven BM3D
+    when ``model_name == 'bm3d'`` (the iterative counterpart of the
+    one-shot ``priors.bm3d.api.bm3d_deblurring``)."""
+    import jax.numpy as jnp
+
+    from pnp_admm_cnc_mri_tpu.priors import denoiser as denoiser_mod
+
+    if model_name == "bm3d":
+        from pnp_admm_cnc_mri_tpu.priors import bm3d_prior
+
+        return bm3d_prior.make_bm3d_ladder_denoiser(sigmas)
+    extra = {}
+    if model_sigma1 is not None:
+        extra["model_sigma1"] = model_sigma1
+    return denoiser_mod.build_denoiser(
+        model_name, iter_num=iter_num,
+        weights=denoiser_mod.resolve_weights(model_name, weights),
+        noise_level_model=denoiser_mod.nlm_for_model(model_name, eff_nlm),
+        x8=x8, compute_dtype=jnp.bfloat16 if bf16 else None, **extra,
+    )
+
+
 DEBLUR_KERNELS = ("aniso", "gauss", "box")
 
 
@@ -268,7 +294,6 @@ def run_deblur(
     import jax.numpy as jnp
 
     from pnp_admm_cnc_mri_tpu.ops import schedules, sisr
-    from pnp_admm_cnc_mri_tpu.priors import denoiser as denoiser_mod
 
     testsets_dir = testsets_dir or images.DEFAULT_TESTSETS
     imgs01, _, names = images.load_testset(os.path.join(testsets_dir, testset))
@@ -283,19 +308,13 @@ def run_deblur(
         jax.random.PRNGKey(seed), y.shape, y.dtype)
 
     eff_nlm = float(max(1.0, noise_sigma255)) if nlm is None else float(nlm)
-    extra = {}
-    if model_sigma1 is not None:
-        extra["model_sigma1"] = model_sigma1
-    denoise = denoiser_mod.build_denoiser(
-        model_name, iter_num=iter_num,
-        weights=denoiser_mod.resolve_weights(model_name, weights),
-        noise_level_model=denoiser_mod.nlm_for_model(model_name, eff_nlm),
-        x8=x8, compute_dtype=jnp.bfloat16 if bf16 else None, **extra,
-    )
     _fb, _fbc, f2b, fbfy = sisr.pre_calculate(y, k, 1)
-    rhos, _sigmas = schedules.get_rho_sigma(
+    rhos, sigmas = schedules.get_rho_sigma(
         sigma=max(noise_sigma255, 0.1) / 255.0, iter_num=iter_num,
+        model_sigma1=model_sigma1 if model_sigma1 is not None else 49.0,
         model_sigma2=eff_nlm)
+    denoise = _restoration_prior(
+        model_name, iter_num, eff_nlm, sigmas, weights, x8, model_sigma1, bf16)
 
     t0 = time.perf_counter()
     z = y
@@ -343,7 +362,6 @@ def run_sr(
     import jax.numpy as jnp
 
     from pnp_admm_cnc_mri_tpu.ops import schedules, sisr
-    from pnp_admm_cnc_mri_tpu.priors import denoiser as denoiser_mod
 
     testsets_dir = testsets_dir or images.DEFAULT_TESTSETS
     imgs01, _, names = images.load_testset(os.path.join(testsets_dir, testset))
@@ -362,18 +380,13 @@ def run_sr(
 
     x0 = jnp.kron(y, jnp.ones((sf, sf), y.dtype))
     eff_nlm = float(max(sf, noise_sigma255)) if nlm is None else float(nlm)
-    extra = {}
-    if model_sigma1 is not None:
-        extra["model_sigma1"] = model_sigma1
-    denoise = denoiser_mod.build_denoiser(
-        model_name, iter_num=iter_num,
-        weights=denoiser_mod.resolve_weights(model_name, weights),
-        noise_level_model=denoiser_mod.nlm_for_model(model_name, eff_nlm),
-        x8=x8, compute_dtype=jnp.bfloat16 if bf16 else None, **extra,
-    )
     fb, fbc, f2b, fbfy = sisr.pre_calculate(y, k, sf)
-    rhos, _sigmas = schedules.get_rho_sigma(
-        sigma=noise_sigma255 / 255.0, iter_num=iter_num, model_sigma2=eff_nlm)
+    rhos, sigmas = schedules.get_rho_sigma(
+        sigma=noise_sigma255 / 255.0, iter_num=iter_num,
+        model_sigma1=model_sigma1 if model_sigma1 is not None else 49.0,
+        model_sigma2=eff_nlm)
+    denoise = _restoration_prior(
+        model_name, iter_num, eff_nlm, sigmas, weights, x8, model_sigma1, bf16)
 
     t0 = time.perf_counter()
     z = x0

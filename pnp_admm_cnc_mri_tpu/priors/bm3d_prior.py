@@ -50,3 +50,37 @@ def make_bm3d_denoiser(
         return out.reshape(batch_shape + v.shape[-2:])
 
     return denoise
+
+
+def make_bm3d_ladder_denoiser(
+    sigmas,
+    profile: core.BM3DProfile = core.DEFAULT_PROFILE,
+    stages: str = "all",
+) -> Callable[[jnp.ndarray, int], jnp.ndarray]:
+    """Build ``denoise(v, i)`` with a per-iteration sigma ladder.
+
+    ``sigmas`` is the [0,1]-scale array from ``schedules.get_rho_sigma``
+    — the same ladder that conditions the CNN priors in the DPIR-style
+    restoration pipelines (reference ``utils/utils_pnp.py:14-23``). Used
+    by ``pnp_sr``/``pnp_deblur`` with ``--model bm3d``: the iterative
+    counterpart of the one-shot ``api.bm3d_deblurring``. ``i`` must be a
+    Python int (the HQS loop is unrolled over iterations).
+    """
+    sig = np.asarray(sigmas, np.float64)
+
+    def denoise(v, i):
+        s = float(sig[int(i)])
+
+        def denoise_one(img):
+            return core._bm3d_jit(
+                img, jnp.asarray(s, img.dtype), profile, stages, False
+            )
+
+        if v.ndim == 2:
+            return denoise_one(v)
+        batch_shape = v.shape[:-2]
+        flat = v.reshape((-1,) + v.shape[-2:])
+        out = jax.lax.map(denoise_one, flat)
+        return out.reshape(batch_shape + v.shape[-2:])
+
+    return denoise
