@@ -30,6 +30,7 @@ def build_parser() -> argparse.ArgumentParser:
             "pnp_l1_d",
             "pnp_cnc_d",
             "consensus_l1",
+            "consensus_d",
             "pnp_sr",
             "pnp_deblur",
         ],
@@ -133,9 +134,10 @@ def main(argv=None) -> int:
     )
     dtype = jnp.float64 if args.f64 else jnp.float32
 
-    if args.algo == "consensus_l1":
+    if args.algo in ("consensus_l1", "consensus_d"):
         # Multi-mask joint reconstruction: one shared z across all three
         # reference masks (new capability; no reference counterpart).
+        # consensus_d plugs a model-zoo denoiser into the consensus z-prox.
         import numpy as np
 
         from pnp_admm_cnc_mri_tpu.cli.experiments import score_and_log
@@ -150,7 +152,29 @@ def main(argv=None) -> int:
         )
         all_masks = np.stack(list(masks_mod.load_all_masks(data_dir=args.data_dir).values()))
         kn = noise_mod.load_noise(args.data_dir)
-        base = cfg_mod.ADMM_L1_DEFAULT
+        z_prox = None
+        algo_tag = args.algo
+        if args.algo == "consensus_d":
+            from pnp_admm_cnc_mri_tpu.priors import denoiser as denoiser_mod
+
+            it, rho = cfg_mod.PNP_L1_DEFAULTS.get(args.model, (50, 0.25))
+            base = cfg_mod.ADMMConfig(iter_num=it, rho=rho)
+            if args.tuned and args.model in cfg_mod.TUNED_CONSENSUS_D:
+                base = _apply_tuned(
+                    base, cfg_mod.TUNED_CONSENSUS_D[args.model], args
+                )
+            cfg0 = _merge_cfg(base, args)
+            denoise = denoiser_mod.build_denoiser(
+                args.model,
+                weights=denoiser_mod.resolve_weights(args.model, args.weights),
+                iter_num=cfg0.iter_num, x8=args.x8,
+                compute_dtype=jnp.bfloat16 if args.bf16 else None,
+                noise_level_model=denoiser_mod.nlm_for_model(args.model, args.nlm),
+            )
+            z_prox = lambda v, i: jnp.clip(denoise(v, i), 0.0, 1.0)
+            algo_tag = f"consensus_d_{args.model}"
+        else:
+            base = cfg_mod.ADMM_L1_DEFAULT
         cfg = _merge_cfg(base, args)
         dtp = jnp.float64 if args.f64 else jnp.float32
         cdt = jnp.complex128 if args.f64 else jnp.complex64
@@ -165,12 +189,12 @@ def main(argv=None) -> int:
             ys = np.fft.fft2(img[None], axes=(-2, -1)) * all_masks + kn
             z, _ = consensus.run_consensus(
                 _device_complex(ys, cdt, dtp), jnp.asarray(all_masks, dtp),
-                cfg, dtype=dtp
+                cfg, z_prox=z_prox, dtype=dtp
             )
             zs.append(np.asarray(z))
         out = score_and_log(
             np.stack(zs), truth, names,
-            f"{args.testset}_dn_consensus_l1_all_masks", args.results_dir,
+            f"{args.testset}_dn_{algo_tag}_all_masks", args.results_dir,
             not args.no_save,
         )
         out["wall_s"] = _time.perf_counter() - t0

@@ -101,6 +101,14 @@ TUNED_BM3D = {
     "pnp_cnc_bm3d": dict(iter_num=4, alpha=1.6, nlm=25.0),
 }
 
+# consensus_d (multi-mask joint reconstruction with a denoiser z-prox):
+# swept on set1 across all three reference masks jointly; the consensus
+# data term is 3x stronger than single-mask, so the fixed point prefers a
+# much larger rho than the single-mask PnP defaults.
+TUNED_CONSENSUS_D = {
+    "drunet_gray": dict(iter_num=4, rho=1.2),
+}
+
 MASK_NAMES: Tuple[str, ...] = ("Q_Random30", "Q_Radial30", "Q_Cartesian30")
 MODEL_NAMES: Tuple[str, ...] = (
     "fdncnn_gray",

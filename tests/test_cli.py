@@ -70,6 +70,26 @@ def test_cli_pnp_sr(tmp_path, capsys):
     assert out["psnr"] > 24.0  # well above the ~22 dB zero-fill upsample
 
 
+def test_cli_consensus_d(tmp_path, capsys):
+    from pnp_admm_cnc_mri_tpu.cli import main as cli_main
+
+    argv = [
+        "consensus_d", "--cpu", "--model", "dncnn_25", "--iter_num", "2",
+        "--testset", "set1", "--no_save", "--results_dir", str(tmp_path),
+    ]
+    assert cli_main.main(argv) == 0
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    out = json.loads(line)
+    assert out["psnr"] > 22.0  # joint 3-mask reconstruction, 2 iterations
+
+
+def test_cli_consensus_d_tuned_registry_keys():
+    cfg_keys = {f.name for f in dataclasses.fields(cfg_mod.ADMMConfig)}
+    allowed = cfg_keys | {"nlm", "x8"}
+    for name, tuned in cfg_mod.TUNED_CONSENSUS_D.items():
+        assert not set(tuned) - allowed, name
+
+
 def test_cli_pnp_deblur(tmp_path, capsys):
     from pnp_admm_cnc_mri_tpu.cli import main as cli_main
 
