@@ -106,7 +106,11 @@ TUNED_BM3D = {
 # data term is 3x stronger than single-mask, so the fixed point prefers a
 # much larger rho than the single-mask PnP defaults.
 TUNED_CONSENSUS_D = {
-    "drunet_gray": dict(iter_num=4, rho=1.2),
+    "drunet_gray": dict(iter_num=4, rho=1.2),      # set1 33.24 / set 32.65
+    "ffdnet_gray": dict(iter_num=4, rho=1.8, nlm=12.0),  # set1 31.33
+    "fdncnn_gray": dict(iter_num=4, rho=2.4, nlm=12.0),  # set1 31.25
+    "ircnn_gray": dict(iter_num=4, rho=1.2),       # set1 30.55
+    "dncnn_25": dict(iter_num=4, rho=3.0),         # set1 30.65
 }
 
 MASK_NAMES: Tuple[str, ...] = ("Q_Random30", "Q_Radial30", "Q_Cartesian30")
