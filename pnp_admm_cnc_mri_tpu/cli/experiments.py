@@ -229,6 +229,16 @@ def _restoration_prior(
     if model_name == "bm3d":
         from pnp_admm_cnc_mri_tpu.priors import bm3d_prior
 
+        ignored = [name for name, v in
+                   (("--weights", weights), ("--x8", x8), ("--bf16", bf16))
+                   if v]
+        if ignored:
+            import warnings
+
+            warnings.warn(
+                f"--model bm3d ignores {', '.join(ignored)} (CNN-only knobs)",
+                stacklevel=2,
+            )
         return bm3d_prior.make_bm3d_ladder_denoiser(sigmas)
     extra = {}
     if model_sigma1 is not None:
@@ -241,7 +251,7 @@ def _restoration_prior(
     )
 
 
-DEBLUR_KERNELS = ("aniso", "gauss", "box")
+from pnp_admm_cnc_mri_tpu.config import DEBLUR_KERNELS  # noqa: E402 (re-export)
 
 
 def make_blur_kernel(kernel: str = "aniso"):
@@ -381,8 +391,10 @@ def run_sr(
     x0 = jnp.kron(y, jnp.ones((sf, sf), y.dtype))
     eff_nlm = float(max(sf, noise_sigma255)) if nlm is None else float(nlm)
     fb, fbc, f2b, fbfy = sisr.pre_calculate(y, k, sf)
+    # Floor sigma like run_deblur: noise_sigma255=0 (noiseless SR) would
+    # yield rhos == 0 and a divide-by-zero in data_solution.
     rhos, sigmas = schedules.get_rho_sigma(
-        sigma=noise_sigma255 / 255.0, iter_num=iter_num,
+        sigma=max(noise_sigma255, 0.1) / 255.0, iter_num=iter_num,
         model_sigma1=model_sigma1 if model_sigma1 is not None else 49.0,
         model_sigma2=eff_nlm)
     denoise = _restoration_prior(

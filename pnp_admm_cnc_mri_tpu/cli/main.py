@@ -17,6 +17,8 @@ import argparse
 import json
 import sys
 
+from pnp_admm_cnc_mri_tpu.config import DEBLUR_KERNELS
+
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="pnp_admm_cnc_mri_tpu")
@@ -38,7 +40,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--sf", type=int, default=2,
                    help="pnp_sr only: super-resolution factor")
     p.add_argument("--kernel", default="aniso",
-                   choices=["aniso", "gauss", "box"],
+                   choices=list(DEBLUR_KERNELS),
                    help="pnp_deblur only: blur kernel")
     p.add_argument("--noise_sigma", type=float, default=None,
                    help="pnp_sr/pnp_deblur: degradation noise sigma on the "
@@ -164,12 +166,16 @@ def main(argv=None) -> int:
                     base, cfg_mod.TUNED_CONSENSUS_D[args.model], args
                 )
             cfg0 = _merge_cfg(base, args)
+            extra_d = {}
+            if args.model_sigma1 is not None:
+                extra_d["model_sigma1"] = args.model_sigma1
             denoise = denoiser_mod.build_denoiser(
                 args.model,
                 weights=denoiser_mod.resolve_weights(args.model, args.weights),
                 iter_num=cfg0.iter_num, x8=args.x8,
                 compute_dtype=jnp.bfloat16 if args.bf16 else None,
                 noise_level_model=denoiser_mod.nlm_for_model(args.model, args.nlm),
+                **extra_d,
             )
             z_prox = lambda v, i: jnp.clip(denoise(v, i), 0.0, 1.0)
             algo_tag = f"consensus_d_{args.model}"

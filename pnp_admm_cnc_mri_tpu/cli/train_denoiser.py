@@ -79,11 +79,10 @@ def main(argv=None) -> int:
     from pnp_admm_cnc_mri_tpu.train import data as data_mod, trainer
 
     trainset = args.trainset or os.path.join(images.DEFAULT_TESTSETS, "set")
-    imgs01, _, names = images.load_testset(trainset)
+    imgs01, names = images.load_images_dir(trainset)
     if args.exclude:
         skip = set(args.exclude.split(","))
-        keep = [i for i, n in enumerate(names) if n not in skip]
-        imgs01 = imgs01[keep]
+        imgs01 = [im for im, n in zip(imgs01, names) if n not in skip]
     corpus_imgs = list(imgs01)
     if args.extra_images:
         for path in args.extra_images.split(","):

@@ -114,6 +114,10 @@ TUNED_CONSENSUS_D = {
 }
 
 MASK_NAMES: Tuple[str, ...] = ("Q_Random30", "Q_Radial30", "Q_Cartesian30")
+
+# Blur kernels for the deblurring pipeline — single source of truth shared
+# by the CLI parser and cli.experiments.make_blur_kernel.
+DEBLUR_KERNELS: Tuple[str, ...] = ("aniso", "gauss", "box")
 MODEL_NAMES: Tuple[str, ...] = (
     "fdncnn_gray",
     "drunet_gray",

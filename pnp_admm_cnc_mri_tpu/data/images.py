@@ -87,6 +87,26 @@ def load_testset(
     return np.stack(imgs), np.stack(uints).astype(np.float64), names
 
 
+def load_images_dir(
+    dirpath: str, scale: int = 8, use_clip: bool = True
+) -> tuple[List[np.ndarray], List[str]]:
+    """Like :func:`load_testset` but returns a *list* of float [0,1]
+    images, so directories of heterogeneous sizes (training corpora such
+    as ``scripts/clean_corpus``) load without stacking."""
+    paths = get_image_paths(dirpath)
+    if not paths:
+        raise FileNotFoundError(f"no images under {dirpath}")
+    imgs, names = [], []
+    for p in paths:
+        u = modcrop(imread_gray(p), scale)
+        f = uint2single(u)
+        if use_clip:
+            f = uint2single(single2uint(f))
+        imgs.append(np.float64(f))
+        names.append(os.path.splitext(os.path.basename(p))[0])
+    return imgs, names
+
+
 def imsave(img255: np.ndarray, path: str) -> None:
     """Save a [0,255] float image as PNG (reference ``utils_image.py:160-164``)."""
     import cv2
