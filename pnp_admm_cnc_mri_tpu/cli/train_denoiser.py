@@ -48,6 +48,10 @@ def main(argv=None) -> int:
                         "with the ircnn_gray PnP adapter")
     p.add_argument("--bundle_steps", type=int, default=800,
                    help="fine-tune steps per non-center bin (--bundle)")
+    p.add_argument("--scan_steps", type=int, default=1,
+                   help="ondevice only: optimizer steps per dispatch via "
+                        "lax.scan (amortizes the axon tunnel's ~150 ms "
+                        "round-trip; 100-200 is compute-bound)")
     p.add_argument("--ondevice", action="store_true",
                    help="stage the patch corpus to the device once and fuse "
                         "sampling+augment+noise+update in one jit per step — "
@@ -162,7 +166,7 @@ def main(argv=None) -> int:
                 return trainer.train_denoiser_ondevice(
                     model, patches, sig, steps=steps, batch_size=args.batch,
                     cfg=cfg, params=params, seed=seed, ckpt_cb=ckpt_cb,
-                    ckpt_every=ckpt_every,
+                    ckpt_every=ckpt_every, scan_steps=args.scan_steps,
                 )
             return trainer.train_denoiser(
                 model, patches, sig, steps=steps, batch_size=args.batch,
@@ -225,7 +229,7 @@ def main(argv=None) -> int:
             model, patches, sigma, steps=args.steps, batch_size=args.batch,
             cfg=cfg, conditioned=conditioned, ffdnet_style=ffdnet_style,
             params=init_params, ckpt_cb=ckpt_cb, ckpt_every=args.ckpt_every,
-            ema_decay=args.ema,
+            ema_decay=args.ema, scan_steps=args.scan_steps,
         )
     else:
         params, losses = trainer.train_denoiser(

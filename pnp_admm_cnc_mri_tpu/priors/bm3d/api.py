@@ -89,17 +89,32 @@ def bm3d(
         return bm3d_refilter(z, sigma, profile=dataclasses.replace(
             profile, denoise_residual=False))
     if sig_np.ndim >= 2:
-        if stage_arg is not None:
-            raise NotImplementedError(
-                "stage_arg with a PSD array is not supported; use "
-                "core.wiener_stage_colored directly")
         h, w = z.shape[-2:]
         if sig_np.shape[-2:] != (h, w):
             raise ValueError(
                 f"PSD shape {sig_np.shape[-2:]} must match the image "
                 f"shape {(h, w)} (the var*H*W convention ties the PSD to "
                 "the image grid)")
-        if np.ptp(sig_np) <= 1e-9 * max(float(sig_np.max()), 1e-30):
+        flat = np.ptp(sig_np) <= 1e-9 * max(float(sig_np.max()), 1e-30)
+        if stage_arg is not None:
+            # Wiener-only with a PSD (reference accepts an estimate in
+            # stage_arg uniformly with PSD inputs, __init__.py:216-224 +
+            # :299-318): white PSDs reduce to the scalar-sigma stage,
+            # colored ones run the exact-variance colored Wiener stage
+            # with the PSD-estimated mu^2.
+            pilot = jnp.asarray(stage_arg, z.dtype)
+            if flat:
+                return core.wiener_stage(
+                    z, pilot, jnp.asarray(
+                        np.sqrt(sig_np.mean() / (h * w)), z.dtype), profile)
+            psd_g, prof = _auto_profile(sig_np, profile)
+            stds_wie = core.psd_to_coeff_stds(
+                psd_g, prof.transform_wie, prof.bs_wie)
+            cov_wie = jnp.asarray(core.coeff_cov_field(
+                psd_g, prof.transform_wie, prof.bs_wie))
+            return core.wiener_stage_colored(
+                z, pilot, stds_wie, prof, cov_field=cov_wie)
+        if flat:
             return core.bm3d(z, float(np.sqrt(sig_np.mean() / (h * w))),
                              profile, prefilter=prefilter)
         return core.bm3d_colored_auto(z, sig_np, profile)
@@ -107,6 +122,19 @@ def bm3d(
         return core.wiener_stage(z, jnp.asarray(stage_arg, z.dtype),
                                  jnp.asarray(sigma, z.dtype), profile)
     return core.bm3d(z, sigma, profile, prefilter=prefilter)
+
+
+def _auto_profile(psd: np.ndarray, profile: core.BM3DProfile):
+    """Guarded PSD + PSD-estimated (lambda, mu^2) profile, the shared
+    preprocessing of ``core.bm3d_colored_auto`` (reference parameter
+    estimation ``__init__.py:633-717``)."""
+    floor = float(np.mean(psd)) * 1e-3 + 1e-20
+    psd_g = np.maximum(np.asarray(psd, np.float64), floor)
+    from pnp_admm_cnc_mri_tpu.priors.bm3d import psd_params
+
+    lam, mu2, _, _ = psd_params.estimate_parameters_for_psd(
+        psd_params.shrink_and_normalize_psd(psd_g))
+    return psd_g, dataclasses.replace(profile, lambda_thr3d=lam, mu2=mu2)
 
 
 def bm3d_with_blockmatches(
@@ -142,15 +170,23 @@ def _wiener_with_matches(z, pilot, sigma, p, bm: BlockMatches):
 
 def _stage_with_matches(z, pilot, sigma, p: core.BM3DProfile, bm: BlockMatches, mode):
     """Run a filtering stage with externally supplied matches (shares the
-    group-filter/aggregation path of core.ht_stage/wiener_stage)."""
+    group-filter/aggregation path of core.ht_stage/wiener_stage).
+
+    ``sigma`` is either a scalar noise std (white noise — original path,
+    kept numerically identical) or a (bs*bs,) vector of per-coefficient
+    stds from ``core.psd_to_coeff_stds`` (colored PSD: the thresholds /
+    Wiener variances and group weights follow core.ht_stage_colored /
+    wiener_stage_colored's position-independent formulas)."""
     h, w = z.shape
     bs = p.bs_ht if mode == "ht" else p.bs_wie
     nh, nw = h - bs + 1, w - bs + 1
     kind = p.transform_ht if mode == "ht" else p.transform_wie
-    t2f, t2i = tr.transform_pair(bs, kind)
+    t2f, t2i = tr.transform_pair(bs, kind,
+                                 p.dec_level if mode == "ht" else 0)
     k2f = jnp.asarray(np.kron(t2f, t2f), z.dtype)
     k2i = jnp.asarray(np.kron(t2i, t2i), z.dtype)
 
+    colored = jnp.ndim(sigma) >= 1
     t2b_z = core._extract_blocks(z, bs) @ k2f.T
     gz = core._group_coeffs(t2b_z, bm.pos, nw)
     k_max = p.max_3d_ht if mode == "ht" else p.max_3d_wie
@@ -162,22 +198,37 @@ def _stage_with_matches(z, pilot, sigma, p: core.BM3DProfile, bm: BlockMatches, 
     if mode == "wie":
         t2b_p = core._extract_blocks(pilot, bs) @ k2f.T
         gp = core._group_coeffs(t2b_p, bm.pos, nw)
-        sigma_w = sigma * p.mu2**0.5
+        if colored:
+            vars_w = jnp.asarray(sigma, z.dtype) ** 2 * p.mu2
+        else:
+            sigma_w = sigma * p.mu2**0.5
     else:
-        thr = p.lambda_thr3d * sigma
+        thr = p.lambda_thr3d * jnp.asarray(sigma, z.dtype)
+        if colored:
+            vars_d = jnp.asarray(sigma, z.dtype) ** 2
+            floor = jnp.mean(vars_d)
 
     for s, hf, hi in zip(sizes, haar_f, haar_i):
         cz = jnp.einsum("st,gtc->gsc", hf, gz[:, :s, :])
         if mode == "ht":
             keep = jnp.abs(cz) > thr
             cz = jnp.where(keep, cz, 0.0)
-            nnz = jnp.sum(keep, axis=(1, 2)).astype(gz.dtype)
-            w_g = 1.0 / (sigma**2 * jnp.maximum(nnz, 1.0))
+            if colored:
+                kept_var = jnp.sum(keep * vars_d, axis=(1, 2))
+                w_g = 1.0 / jnp.maximum(kept_var, floor + 1e-12)
+            else:
+                nnz = jnp.sum(keep, axis=(1, 2)).astype(gz.dtype)
+                w_g = 1.0 / (sigma**2 * jnp.maximum(nnz, 1.0))
         else:
             cp = jnp.einsum("st,gtc->gsc", hf, gp[:, :s, :])
-            wien = cp**2 / (cp**2 + sigma_w**2)
+            if colored:
+                wien = cp**2 / (cp**2 + vars_w)
+                w_g = 1.0 / jnp.maximum(
+                    jnp.sum(wien**2 * vars_w, axis=(1, 2)), 1e-10)
+            else:
+                wien = cp**2 / (cp**2 + sigma_w**2)
+                w_g = 1.0 / (sigma_w**2 * jnp.maximum(jnp.sum(wien**2, axis=(1, 2)), 1e-10))
             cz = cz * wien
-            w_g = 1.0 / (sigma_w**2 * jnp.maximum(jnp.sum(wien**2, axis=(1, 2)), 1e-10))
         blocks_s = jnp.einsum("ts,gsc->gtc", hi, cz)
         blocks_s = jnp.pad(blocks_s, ((0, 0), (0, k_max - s), (0, 0)))
         sel = (bm.counts == s)[:, None, None]
@@ -197,31 +248,60 @@ def bm3d_multichannel(
     stages (the reference package's multichannel path, demonstrated by
     ``bm3d307/examples/bm3d_demo_multichannel.py:5-7``).
 
-    ``sigma`` is a scalar std, a length-C per-channel std vector, or a flat
-    (white) PSD; spatially colored per-channel PSDs are not routed here —
-    call ``core.bm3d_colored_auto`` per channel for those.
+    ``sigma`` is a scalar std, a length-C per-channel std vector, or a PSD
+    — ``(H, W)`` shared across channels or ``(H, W, C)`` per channel, like
+    the reference's ``sigma_psd: either MxN or MxNxC``
+    (``__init__.py:171-173``). Colored PSDs run per-channel
+    PSD-estimated (lambda, mu^2) and per-coefficient variances while the
+    block matching stays shared from the first channel.
     """
     if z.ndim != 3:
         raise ValueError("bm3d_multichannel expects (H, W, C)")
     h, w, c = z.shape
     sig_np = np.asarray(sigma, np.float64)
-    if sig_np.ndim >= 2:  # PSD form: white only (like api.bm3d's fast path)
-        if np.ptp(sig_np) > 1e-9 * max(float(sig_np.max()), 1e-30):
-            raise NotImplementedError(
-                "colored PSDs: use core.bm3d_colored_auto per channel")
-        sig_np = np.full((c,), np.sqrt(sig_np.mean() / (h * w)))
-    sigs = np.broadcast_to(np.atleast_1d(sig_np), (c,))
+
+    # Per-channel (sigma-or-stds, profile) pairs; scalar sigma = white.
+    chan: list = []
+    if sig_np.ndim >= 2:
+        if sig_np.ndim == 2:
+            psds = [sig_np] * c
+        elif sig_np.shape == (h, w, c):
+            psds = [sig_np[..., ch] for ch in range(c)]
+        else:
+            raise ValueError(
+                f"PSD shape {sig_np.shape} must be (H, W) or (H, W, C) "
+                f"for image shape {(h, w, c)}")
+        for psd in psds:
+            if np.ptp(psd) <= 1e-9 * max(float(psd.max()), 1e-30):
+                chan.append((jnp.asarray(
+                    np.sqrt(psd.mean() / (h * w)), z.dtype), profile))
+            else:
+                psd_g, prof = _auto_profile(psd, profile)
+                chan.append((psd_g, prof))
+    else:
+        sigs = np.broadcast_to(np.atleast_1d(sig_np), (c,))
+        chan = [(jnp.asarray(s, z.dtype), profile) for s in sigs]
+
+    def _stds(entry, stage):
+        s, prof = entry
+        if isinstance(s, np.ndarray) and s.ndim == 2:  # guarded PSD
+            kind = prof.transform_ht if stage == "ht" else prof.transform_wie
+            bs = prof.bs_ht if stage == "ht" else prof.bs_wie
+            return jnp.asarray(core.psd_to_coeff_stds(
+                s, kind, bs,
+                dec_level=prof.dec_level if stage == "ht" else 0), z.dtype)
+        return s
 
     bm_ht = compute_blockmatches(z[..., 0], profile, "ht")
     pilots = [
-        _ht_with_matches(z[..., ch], jnp.asarray(sigs[ch], z.dtype), profile,
+        _ht_with_matches(z[..., ch], _stds(chan[ch], "ht"), chan[ch][1],
                          bm_ht)
         for ch in range(c)
     ]
     bm_wie = compute_blockmatches(pilots[0], profile, "wie")
     outs = [
         _wiener_with_matches(z[..., ch], pilots[ch],
-                             jnp.asarray(sigs[ch], z.dtype), profile, bm_wie)
+                             _stds(chan[ch], "wie"), chan[ch][1], bm_wie)
         for ch in range(c)
     ]
     return jnp.stack(outs, axis=-1)

@@ -67,6 +67,8 @@ class BM3DProfile:
     # Transforms / aggregation
     transform_ht: str = "bior1.5"
     transform_wie: str = "dct"
+    dec_level: int = 0  # HT wavelet column-roll (reference profiles.py:67;
+    # a no-op for the hardcoded 8x8 bior1.5/dct/dst — see transforms.py)
     beta: float = 2.0  # Kaiser beta, HT-stage aggregation
     beta_wie: float = 2.0  # Kaiser beta, Wiener-stage aggregation
     # Refiltering (the reference's denoise_residual flag, profiles.py:36)
@@ -76,12 +78,12 @@ class BM3DProfile:
 DEFAULT_PROFILE = BM3DProfile()
 
 # Named profile variants (reference ``bm3d307/bm3d/profiles.py:136-220``).
-# 'high' differs from the reference in one respect: its dec_level=1
-# (reduced wavelet decomposition depth) is not modeled — the full
-# decomposition is used; the remaining constants match. Measured against
-# the C binaries on a sigma=0.1 synthetic scene: vn_old +0.07 dB,
-# np/vn/high/deb trail by 0.6-1.1 dB (the entry pipelines only ever use
-# 'np'; the variants are provided for API completeness).
+# 'high' carries the reference's dec_level=1, which in the reference is a
+# NO-OP at the profile's default 8x8 bior1.5 block transform (the
+# hardcoded-matrix branch at ``__init__.py:493-505`` never sees
+# dec_levels); it only alters pywt-generated wavelet matrices for custom
+# block sizes, where it amounts to a cyclic column shift
+# (``__init__.py:608`` — modeled in transforms.transform_pair).
 PROFILES = {
     "np": DEFAULT_PROFILE,
     "refilter": BM3DProfile(denoise_residual=True),
@@ -99,6 +101,7 @@ PROFILES = {
     ),
     "high": BM3DProfile(
         step_ht=2, step_wie=2, lambda_thr3d=2.5, beta=2.5, beta_wie=1.5,
+        dec_level=1,
     ),
     "deb": BM3DProfile(
         transform_ht="dst", lambda_thr3d=2.9, bs_wie=8, step_wie=2,
@@ -341,7 +344,7 @@ def ht_stage(
     bs = p.bs_ht
     nh, nw = h - bs + 1, w - bs + 1
 
-    t2f, t2i = tr.transform_pair(bs, p.transform_ht)
+    t2f, t2i = tr.transform_pair(bs, p.transform_ht, p.dec_level)
     k2f = jnp.asarray(np.kron(t2f, t2f), z.dtype)
     k2i = jnp.asarray(np.kron(t2i, t2i), z.dtype)
 
@@ -501,7 +504,8 @@ def bm3d_from_psd(z: jnp.ndarray, psd, profile=DEFAULT_PROFILE, prefilter=None):
 # ---------------------------------------------------------------------------
 
 
-def psd_to_coeff_stds(psd: np.ndarray, kind: str, bs: int = 8) -> np.ndarray:
+def psd_to_coeff_stds(psd: np.ndarray, kind: str, bs: int = 8,
+                      dec_level: int = 0) -> np.ndarray:
     """Noise std of each 2-D transform coefficient under stationary noise.
 
     For noise with power spectral density P(k) (DC-at-corner, the
@@ -535,7 +539,8 @@ def psd_to_coeff_stds(psd: np.ndarray, kind: str, bs: int = 8) -> np.ndarray:
 
 
 def coeff_cov_field(
-    psd: np.ndarray, kind: str, bs: int = 8, radius: int = 32
+    psd: np.ndarray, kind: str, bs: int = 8, radius: int = 32,
+    dec_level: int = 0,
 ) -> np.ndarray:
     """Cross-covariance of each 2-D transform coefficient between two
     blocks at spatial offset (dr, dc) under stationary noise with the
@@ -625,7 +630,7 @@ def ht_stage_colored(
     bs = p.bs_ht
     nh, nw = h - bs + 1, w - bs + 1
 
-    t2f, t2i = tr.transform_pair(bs, p.transform_ht)
+    t2f, t2i = tr.transform_pair(bs, p.transform_ht, p.dec_level)
     k2f = jnp.asarray(np.kron(t2f, t2f), z.dtype)
     k2i = jnp.asarray(np.kron(t2i, t2i), z.dtype)
 
@@ -763,12 +768,14 @@ def bm3d_colored(
     psd = np.asarray(psd, np.float64)
     h, w = z.shape[-2:]
     match_sigma = float(np.sqrt(psd.mean() / (h * w)))
-    stds_ht = psd_to_coeff_stds(psd, profile.transform_ht, profile.bs_ht)
+    stds_ht = psd_to_coeff_stds(psd, profile.transform_ht, profile.bs_ht,
+                                dec_level=profile.dec_level)
     stds_wie = psd_to_coeff_stds(psd, profile.transform_wie, profile.bs_wie)
     cov_ht = cov_wie = None
     if exact:
         cov_ht = jnp.asarray(
-            coeff_cov_field(psd, profile.transform_ht, profile.bs_ht))
+            coeff_cov_field(psd, profile.transform_ht, profile.bs_ht,
+                            dec_level=profile.dec_level))
         cov_wie = jnp.asarray(
             coeff_cov_field(psd, profile.transform_wie, profile.bs_wie))
     yb = ht_stage_colored(z, stds_ht, match_sigma, profile, cov_field=cov_ht)

@@ -102,12 +102,23 @@ def dst_matrix(n: int) -> np.ndarray:
     return dst(np.eye(n), norm="ortho")
 
 
-def transform_pair(n: int, kind: str) -> tuple[np.ndarray, np.ndarray]:
+def transform_pair(
+    n: int, kind: str, dec_level: int = 0
+) -> tuple[np.ndarray, np.ndarray]:
     """(forward, inverse) transform matrices with reference normalization.
 
     Forward rows are scaled to unit l2 norm — EXCEPT the 8x8 bior1.5 matrix
     which the reference keeps in raw MATLAB-compatible scaling (reference
     ``__init__.py:615-620``). Inverse = inv(forward).
+
+    ``dec_level`` replicates the reference's ``profiles.py:67`` field for
+    generated wavelet matrices: at ``__init__.py:608`` the impulse used to
+    build column ``ii`` is ``np.roll(temp, (ii, dec_levels))``, which NumPy
+    evaluates as a single shift of ``ii + dec_levels`` — i.e. the full-
+    decomposition analysis matrix with its columns cyclically advanced.
+    The reference's *hardcoded* matrices (8x8 bior1.5/dct/dst) bypass that
+    branch entirely, so dec_level is a no-op there — including for the
+    'high' profile at its default 8x8 block size — and we reproduce that.
     """
     if n == 1:
         return np.ones((1, 1)), np.ones((1, 1))
@@ -118,6 +129,8 @@ def transform_pair(n: int, kind: str) -> tuple[np.ndarray, np.ndarray]:
     elif kind in FILTERS:
         t = wavelet_matrix(n, kind)
         if not (kind == "bior1.5" and n == 8):
+            if dec_level:
+                t = np.roll(t, -int(dec_level), axis=1)
             norms = np.sqrt((t**2).sum(axis=1))
             t = t / norms[:, None]
     else:

@@ -236,6 +236,7 @@ def train_denoiser_ondevice(
     ckpt_cb: Optional[Callable[[int, Any], None]] = None,
     ckpt_every: int = 0,
     ema_decay: Optional[float] = None,
+    scan_steps: int = 1,
 ):
     """All-on-device training loop for link-constrained TPUs.
 
@@ -247,6 +248,12 @@ def train_denoiser_ondevice(
     steps and params at checkpoints. The corpus is a jit *argument* (a
     closed-over device constant would hit axon's UNIMPLEMENTED transfer
     path).
+
+    ``scan_steps > 1`` wraps that fused step in a ``lax.scan`` so ONE
+    dispatch advances many optimizer steps — the tunnel's ~150 ms/step
+    round-trip latency otherwise dominates the ~10 ms/step compute
+    (measured 5 steps/s without, compute-bound with). Checkpoints and
+    loss logging then happen at megastep granularity.
     """
     rng = jax.random.PRNGKey(seed)
     in_nc = 2 if conditioned else 1
@@ -296,6 +303,42 @@ def train_denoiser_ondevice(
     key = jax.random.PRNGKey(seed + 1)
     ema = params if ema_decay is not None else None
     out = lambda: ema if ema_decay is not None else params
+
+    if scan_steps > 1:
+        @jax.jit
+        def mega_step(params, opt_state, ema, corpus, key):
+            def body(carry, sub):
+                params, opt_state, ema = carry
+                params, opt_state, ema, loss = fused_step(
+                    params, opt_state, ema, corpus, sub)
+                return (params, opt_state, ema), loss
+
+            subs = jax.random.split(key, scan_steps)
+            (params, opt_state, ema), ls = jax.lax.scan(
+                body, (params, opt_state, ema), subs)
+            return params, opt_state, ema, ls
+
+        done = 0
+        while done < steps:
+            k = min(scan_steps, steps - done)
+            key, sub = jax.random.split(key)
+            # the compiled scan always advances scan_steps; a short tail
+            # would recompile, so overshoot the tail instead (harmless:
+            # a few extra optimizer steps at the annealed lr)
+            params, opt_state, ema, ls = mega_step(
+                params, opt_state, ema, corpus, sub)
+            ls = np.asarray(jax.device_get(ls))
+            for j in range(0, scan_steps, max(1, log_every)):
+                losses.append((done + j, float(ls[j])))
+            done += scan_steps
+            if ckpt_cb is not None and ckpt_every and (
+                done % max(ckpt_every, scan_steps) < scan_steps
+            ):
+                ckpt_cb(done, jax.device_get(out()))
+        if ckpt_cb is not None:
+            ckpt_cb(done, jax.device_get(out()))
+        return out(), losses
+
     for i in range(steps):
         key, sub = jax.random.split(key)
         params, opt_state, ema, loss = fused_step(params, opt_state, ema, corpus, sub)

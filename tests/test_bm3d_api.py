@@ -634,3 +634,145 @@ class TestMultichannel:
         psd = np.full((h, w), 0.01 * h * w)
         b = np.asarray(api.bm3d_multichannel(jnp.asarray(z), psd))
         np.testing.assert_allclose(a, b, atol=2e-6)
+
+
+class TestColoredPSDEdges:
+    """Round-2 edge closures: colored PSDs through ``stage_arg`` and
+    ``bm3d_multichannel`` (reference accepts PSD arrays uniformly,
+    ``__init__.py:162-318``), and the 'high' profile's dec_level."""
+
+    @staticmethod
+    def _colored_scene(h=64, w=64, seed=3, ksigma=2.0, power=0.01):
+        from scipy.signal import fftconvolve
+
+        rng = np.random.default_rng(seed)
+        xx, yy = np.meshgrid(np.arange(w), np.arange(h))
+        x = 0.5 + 0.3 * np.sin(xx / 6.0) * np.cos(yy / 8.0)
+        uu, vv = np.meshgrid(np.arange(-15, 16), np.arange(-15, 16))
+        kernel = np.exp(-(uu**2 + vv**2) / (2 * ksigma**2))
+        kernel = kernel / np.sqrt((kernel**2).sum()) * np.sqrt(power)
+        psd = np.abs(np.fft.fft2(kernel, (h, w))) ** 2 * h * w
+        noise = fftconvolve(rng.standard_normal((h + 31, w + 31)), kernel,
+                            mode="same")[15:15 + h, 15:15 + w]
+        z = (x + noise).astype(np.float32)
+        return x, z, psd
+
+    def test_stage_arg_with_colored_psd(self):
+        """stage_arg + colored PSD runs Wiener-only and lands close to the
+        full colored pipeline (same pilot feeds both Wiener stages)."""
+        x, z, psd = self._colored_scene()
+
+        full = np.asarray(api.bm3d(jnp.asarray(z), psd))
+        # the full colored path's own HT output as the external pilot
+        psd_g, prof = api._auto_profile(psd, core.DEFAULT_PROFILE)
+        stds_ht = core.psd_to_coeff_stds(psd_g, prof.transform_ht, prof.bs_ht)
+        pilot = core.ht_stage_colored(
+            jnp.asarray(z), stds_ht, float(np.sqrt(psd_g.mean() / z.size)),
+            prof,
+            cov_field=jnp.asarray(core.coeff_cov_field(
+                psd_g, prof.transform_ht, prof.bs_ht)),
+        )
+        staged = np.asarray(api.bm3d(jnp.asarray(z), psd, stage_arg=pilot))
+        np.testing.assert_allclose(staged, full, atol=1e-5)
+
+    def test_stage_arg_colored_psd_improves_noisy(self):
+        x, z, psd = self._colored_scene()
+        pilot = jnp.asarray(x, jnp.float32)  # oracle pilot
+        out = np.asarray(api.bm3d(jnp.asarray(z), psd, stage_arg=pilot))
+        # Wiener-only with the oracle pilot: 3.2x MSE reduction measured
+        # (also beats the full self-piloted colored run's 1.6x)
+        assert np.mean((out - x) ** 2) < np.mean((z - x) ** 2) / 3
+
+    def test_stage_arg_white_psd_equals_scalar(self):
+        rng = np.random.default_rng(7)
+        x = 0.5 + 0.2 * rng.standard_normal((48, 48))
+        sigma = 0.09
+        z = (x + sigma * rng.standard_normal((48, 48))).astype(np.float32)
+        ht = np.asarray(core.bm3d(jnp.asarray(z), sigma, stages="ht"))
+        psd = np.full((48, 48), sigma**2 * 48 * 48)
+        a = np.asarray(api.bm3d(jnp.asarray(z), psd, stage_arg=ht))
+        b = np.asarray(api.bm3d(jnp.asarray(z), sigma, stage_arg=ht))
+        np.testing.assert_allclose(a, b, atol=1e-6)
+
+    def test_multichannel_colored_psd_shared(self):
+        """(H, W) colored PSD shared across channels denoises both; output
+        improves on the noisy input per channel."""
+        x, z, psd = self._colored_scene()
+        z2 = np.stack([z, z + 0.0], axis=-1)
+        out = np.asarray(api.bm3d_multichannel(jnp.asarray(z2), psd))
+        assert out.shape == z2.shape
+        # lowpass noise on a smooth scene is the hard case: measured 1.4x
+        # MSE reduction (the exact-variance colored_auto gets 1.6x)
+        for ch in range(2):
+            assert (np.mean((out[..., ch] - x) ** 2)
+                    < np.mean((z - x) ** 2) * 0.8)
+
+    def test_multichannel_colored_psd_per_channel(self):
+        """(H, W, C) PSDs: a channel with colored noise and a channel with
+        white noise each get their own variance model."""
+        x, z, psd = self._colored_scene()
+        rng = np.random.default_rng(11)
+        sigma_w = float(np.sqrt(psd.mean() / x.size))
+        zw = (x + sigma_w * rng.standard_normal(x.shape)).astype(np.float32)
+        z2 = np.stack([z, zw], axis=-1)
+        psd_w = np.full_like(psd, psd.mean())
+        psd3 = np.stack([psd, psd_w], axis=-1)
+        out = np.asarray(api.bm3d_multichannel(jnp.asarray(z2), psd3))
+        for ch, (zz, ref) in enumerate(((z, x), (zw, x))):
+            assert (np.mean((out[..., ch] - ref) ** 2)
+                    < np.mean((zz - ref) ** 2) * 0.8), ch
+
+    def test_multichannel_no_notimplemented_left(self):
+        """The two round-1 NotImplementedError sites are gone."""
+        import inspect
+
+        src = inspect.getsource(api)
+        assert "NotImplementedError" not in src
+
+
+class TestDecLevel:
+    def test_roll_semantics(self):
+        """dec_level rolls generated wavelet matrix columns (reference
+        __init__.py:608: np.roll(temp, (ii, dec)) == shift by ii+dec)."""
+        from pnp_admm_cnc_mri_tpu.priors.bm3d import transforms as tr
+
+        t0, _ = tr.transform_pair(16, "bior1.5", 0)
+        t1, _ = tr.transform_pair(16, "bior1.5", 1)
+        # roll before row normalization: compare unnormalized generators
+        m0 = tr.wavelet_matrix(16, "bior1.5")
+        m1 = np.roll(m0, -1, axis=1)
+        m1n = m1 / np.sqrt((m1**2).sum(axis=1))[:, None]
+        np.testing.assert_allclose(t1, m1n, atol=1e-12)
+        assert np.abs(t0 - t1).max() > 1e-3  # actually different
+
+    def test_hardcoded_8x8_bior_unaffected(self):
+        """At the default 8x8 bior1.5 the reference's hardcoded matrix
+        bypasses dec_level — ours must too."""
+        from pnp_admm_cnc_mri_tpu.priors.bm3d import transforms as tr
+
+        t0, _ = tr.transform_pair(8, "bior1.5", 0)
+        t1, _ = tr.transform_pair(8, "bior1.5", 1)
+        np.testing.assert_array_equal(t0, t1)
+
+    def test_high_profile_runs_and_denoises(self):
+        rng = np.random.default_rng(9)
+        xx, yy = np.meshgrid(np.arange(64), np.arange(64))
+        x = 0.5 + 0.25 * np.sin(xx / 7.0) * np.cos(yy / 9.0)
+        z = (x + 0.08 * rng.standard_normal((64, 64))).astype(np.float32)
+        assert core.get_profile("high").dec_level == 1
+        y = np.asarray(api.bm3d(jnp.asarray(z), 0.08, profile="high"))
+        assert np.mean((y - x) ** 2) < np.mean((z - x) ** 2) / 3
+
+    def test_custom_profile_dec_level_changes_output(self):
+        """A custom profile with a generated (non-8) HT block size must
+        react to dec_level (the generated-wavelet branch)."""
+        import dataclasses as dc
+
+        rng = np.random.default_rng(9)
+        x = 0.5 + 0.2 * rng.standard_normal((64, 64))
+        z = (x + 0.08 * rng.standard_normal((64, 64))).astype(np.float32)
+        base = dc.replace(core.DEFAULT_PROFILE, bs_ht=16, dec_level=0)
+        high = dc.replace(base, dec_level=1)
+        y0 = np.asarray(core.bm3d(jnp.asarray(z), 0.08, base))
+        y1 = np.asarray(core.bm3d(jnp.asarray(z), 0.08, high))
+        assert np.abs(y0 - y1).max() > 1e-6
