@@ -1,0 +1,248 @@
+"""A2 parity study: is the PnP-ADMM-L1-BM3D 50-iteration fixed point
+precision-chaotic?
+
+VERDICT round-1 asked for proof that the 0.06-0.66 dB band between our
+A2 result and the reference's 25.156 dB (set1/Q_Random30, 50 iters,
+reference defaults — ``/root/reference/【2】PNP_ADMM_L1_BM3D .py:122-139``)
+is chaos amplification of sub-tolerance BM3D output differences rather
+than a bug. Protocol:
+
+1. Run the REFERENCE itself (patched scratch copy with its own C
+   binaries) at the 50-iteration default, recording the full per-iteration
+   trajectory.
+2. Re-run the reference with its input perturbed by eps=1e-6 white noise
+   (several seeds) — if the final PSNR spread across these runs is
+   comparable to our deviation band, the fixed point itself is chaotic.
+3. Run OUR pipeline (f64, CPU) on the identical observation and record
+   the trajectory diff vs the reference run per iteration (Lyapunov-style
+   divergence curve).
+
+Usage:
+    python scripts/a2_chaos_study.py --out /tmp/a2_study [--iters 50]
+    python scripts/a2_chaos_study.py --analyze /tmp/a2_study
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import re
+import shutil
+import subprocess
+import sys
+
+import numpy as np
+
+REF = "/root/reference"
+CV_LIBS = "/opt/venv/lib/python3.12/site-packages/opencv_python.libs"
+
+
+def build_scratch(scratch: str) -> None:
+    """Patched, runnable copy of the reference BM3D package + data assets
+    (same recipe as tests/test_bm3d.py::TestOracleParity)."""
+    if os.path.isdir(os.path.join(scratch, "bm3d307")):
+        return
+    os.makedirs(scratch, exist_ok=True)
+    shutil.copytree(os.path.join(REF, "bm3d307"),
+                    os.path.join(scratch, "bm3d307"))
+    shutil.copytree(os.path.join(REF, "CS_MRI"),
+                    os.path.join(scratch, "CS_MRI"))
+    for name in os.listdir(os.path.join(scratch, "bm3d307", "bm3d")):
+        if not name.endswith(".py"):
+            continue
+        py = os.path.join(scratch, "bm3d307", "bm3d", name)
+        src = open(py).read()
+        src = re.sub(r"np\.float\(", "float(", src)
+        src = re.sub(r"np\.int\(", "int(", src)
+        src = src.replace(
+            'if platform == "linux" and find_library("openblas") is None:',
+            "if False:",
+        )
+        src = src.replace("signal.gaussian(", "signal.windows.gaussian(")
+        open(py, "w").write(src)
+    open(os.path.join(scratch, "pywt.py"), "w").write(
+        "import sys\n"
+        "sys.path.insert(0, '/root/repo')\n"
+        "from pnp_admm_cnc_mri_tpu.priors.bm3d.transforms import wavedec_vector\n"
+        "def wavedec(data, wavelet, mode='periodization', level=None):\n"
+        "    return wavedec_vector(data, wavelet, level)\n"
+    )
+    libdir = os.path.join(scratch, "libs")
+    os.makedirs(libdir, exist_ok=True)
+    for name in os.listdir(CV_LIBS):
+        if "openblas" in name:
+            dst = os.path.join(libdir, "libopenblas.so.0")
+            if not os.path.exists(dst):
+                os.symlink(os.path.join(CV_LIBS, name), dst)
+
+
+REF_DRIVER = r'''
+import sys, numpy as np
+scratch = sys.argv[1]
+iters = int(sys.argv[2])
+eps = float(sys.argv[3])
+seed = int(sys.argv[4])
+out_npz = sys.argv[5]
+sys.path.insert(0, scratch)
+import os
+os.chdir(scratch)
+import scipy.io as sio
+from bm3d307.bm3d import bm3d
+
+# --- reference A2 pipeline, 05.png / Q_Random30 (【2】:85-131) ---
+import cv2
+img = cv2.imread("/root/reference/testsets/set1/05.png", cv2.IMREAD_GRAYSCALE)
+img_L = img.astype(np.float64) / 255.0
+img_L = np.clip(np.round(np.clip(img_L, 0, 1) * 255.0), 0, 255) / 255.0  # uint clip round-trip
+if eps > 0:
+    rng = np.random.default_rng(seed)
+    img_L = img_L + eps * rng.standard_normal(img_L.shape)
+
+mask = sio.loadmat("CS_MRI/Q_Random30.mat")["Q1"].astype(np.float64)
+noise = sio.loadmat("CS_MRI/noises.mat")["noises"].astype(np.complex128) * 3.0
+# 'gw' var=0.03 kernel is the 1x1 sqrt(var) delta -> flat PSD var*H*W
+psd = np.full((256, 256), 0.03 * 256 * 256)
+
+y = np.fft.fft2(img_L) * mask + noise
+index = np.nonzero(mask)
+x = np.absolute(np.fft.ifft2(y))
+z = np.copy(x)
+w = np.zeros((256, 256), np.float64)
+reo = 0.8
+La2 = 1.0 / 2.0 / reo
+truth = img.astype(np.float64)
+
+traj = np.empty((iters, 256, 256), np.float64)
+psnrs = []
+for i in range(iters):
+    xf = np.fft.fft2(z - w)
+    xf[index] = (La2 * xf[index] + y[index]) / (1.0 + La2)
+    x = np.absolute(np.real(np.fft.ifft2(xf)))
+    z = bm3d(x + w, psd)
+    w = w + x - z
+    traj[i] = x
+    mse = np.mean((x * 255.0 - truth) ** 2)
+    psnrs.append(10 * np.log10(255.0 ** 2 / mse))
+np.savez_compressed(out_npz, traj=traj.astype(np.float32), psnrs=np.array(psnrs),
+                    x_final=traj[-1])
+print("final psnr", psnrs[-1], flush=True)
+'''
+
+
+def run_reference(scratch: str, iters: int, eps: float, seed: int,
+                  out_npz: str) -> None:
+    env = dict(os.environ)
+    env["LD_LIBRARY_PATH"] = ":".join(
+        [os.path.join(scratch, "libs"), CV_LIBS,
+         env.get("LD_LIBRARY_PATH", "")])
+    env.pop("JAX_PLATFORMS", None)
+    subprocess.run(
+        [sys.executable, "-c", REF_DRIVER, scratch, str(iters), str(eps),
+         str(seed), out_npz],
+        env=env, check=True, timeout=3600,
+    )
+
+
+def run_ours(iters: int, out_npz: str, dtype: str = "f64") -> None:
+    """Our A2 (f64 CPU) on the identical observation, trajectory recorded."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    if dtype == "f64":
+        jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+
+    from pnp_admm_cnc_mri_tpu.data import images, masks, noise as noise_mod
+    from pnp_admm_cnc_mri_tpu.priors import bm3d_prior
+
+    img = images.imread_gray(os.path.join(REF, "testsets/set1/05.png"))
+    img_L = images.uint2single(images.single2uint(images.uint2single(img)))
+    mask = masks.load_mask("Q_Random30").astype(np.float64)
+    kn = noise_mod.load_noise()
+    y = np.fft.fft2(img_L) * mask + kn
+    index = np.nonzero(mask)
+
+    den = bm3d_prior.make_bm3d_denoiser()  # sigma = sqrt(0.03) white
+    dt = jnp.float64 if dtype == "f64" else jnp.float32
+
+    x = np.absolute(np.fft.ifft2(y))
+    z = x.copy()
+    w = np.zeros_like(x)
+    reo = 0.8
+    la2 = 1.0 / 2.0 / reo
+    truth = img.astype(np.float64)
+    traj = np.empty((iters, 256, 256), np.float64)
+    psnrs = []
+    for i in range(iters):
+        xf = np.fft.fft2(z - w)
+        xf[index] = (la2 * xf[index] + y[index]) / (1.0 + la2)
+        x = np.absolute(np.real(np.fft.ifft2(xf)))
+        z = np.asarray(den(jnp.asarray(x + w, dt), i), np.float64)
+        w = w + x - z
+        traj[i] = x
+        mse = np.mean((x * 255.0 - truth) ** 2)
+        psnrs.append(10 * np.log10(255.0**2 / mse))
+        print(f"ours iter {i}: psnr {psnrs[-1]:.4f}", flush=True)
+    np.savez_compressed(out_npz, traj=traj.astype(np.float32),
+                        psnrs=np.array(psnrs), x_final=traj[-1])
+
+
+def analyze(outdir: str) -> dict:
+    base = np.load(os.path.join(outdir, "ref_base.npz"))
+    runs = {}
+    for name in sorted(os.listdir(outdir)):
+        if name.endswith(".npz") and name != "ref_base.npz":
+            runs[name[:-4]] = np.load(os.path.join(outdir, name))
+    report = {
+        "ref_final_psnr": float(base["psnrs"][-1]),
+        "ref_psnr_trajectory": [round(float(p), 3) for p in base["psnrs"]],
+    }
+    finals = []
+    curves = {}
+    for name, r in runs.items():
+        d = np.linalg.norm(
+            r["traj"] - base["traj"], axis=(1, 2)
+        ) / np.linalg.norm(base["traj"], axis=(1, 2))
+        curves[name] = [float(f"{v:.3e}") for v in d]
+        report[f"{name}_final_psnr"] = float(r["psnrs"][-1])
+        if name.startswith("ref_eps"):
+            finals.append(float(r["psnrs"][-1]))
+    if finals:
+        finals.append(report["ref_final_psnr"])
+        report["ref_self_spread_db"] = float(max(finals) - min(finals))
+    report["divergence_curves"] = curves
+    return report
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--out", default="/tmp/a2_study")
+    p.add_argument("--iters", type=int, default=50)
+    p.add_argument("--eps_seeds", type=int, default=4)
+    p.add_argument("--analyze", default=None)
+    p.add_argument("--skip_ref", action="store_true")
+    p.add_argument("--skip_ours", action="store_true")
+    args = p.parse_args(argv)
+
+    if args.analyze:
+        print(json.dumps(analyze(args.analyze), indent=1))
+        return 0
+
+    os.makedirs(args.out, exist_ok=True)
+    scratch = os.path.join(args.out, "scratch")
+    build_scratch(scratch)
+    if not args.skip_ref:
+        run_reference(scratch, args.iters, 0.0, 0,
+                      os.path.join(args.out, "ref_base.npz"))
+        for s in range(args.eps_seeds):
+            run_reference(scratch, args.iters, 1e-6, 100 + s,
+                          os.path.join(args.out, f"ref_eps1e6_s{s}.npz"))
+    if not args.skip_ours:
+        run_ours(args.iters, os.path.join(args.out, "ours_f64.npz"))
+    print(json.dumps(analyze(args.out), indent=1))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
