@@ -33,6 +33,46 @@ BASELINE_ITERS_PER_S = 180.0  # reference CPU ADMM-L1, 1 image (BASELINE.md)
 ITER_NUM = 50
 SHAPE = (256, 256)
 
+# v5e public specs (one chip): 197 TFLOP/s bf16 MXU peak, 819 GB/s HBM.
+V5E_BF16_FLOPS = 197e12
+V5E_HBM_BPS = 819e9
+
+
+def _roofline(ips: float) -> dict:
+    """Speed-of-light model for the matmul-dc ADMM-L1 iteration at 256^2.
+
+    FLOPs (per image-iteration): the half-spectrum DFT-as-matmul solve is
+    6 (H,W)x(W,Wh) MACs forward + 6 inverse with Wh = W//2+1
+    (``ops/fourier.matmul_rfft2``/``matmul_irfft2``), i.e.
+    12*H*W*Wh MACs = 2.03e8 FLOPs at H=W=256; the pointwise tail
+    (mask blend, soft-threshold, dual update) adds <1%. Precision.HIGH
+    runs each MAC as 3 bf16 MXU passes (bf16_3x), so the f32-accurate
+    compute ceiling is peak_bf16/3.
+
+    Bytes (per image-iteration, minimum HBM traffic): read scan state
+    z, w + write x, z, w (5 f32 planes) + read the masked half-spectrum
+    observation (2 half planes) ~= 1.57 MB; einsum intermediates that
+    spill add more, so the memory bound below is optimistic (a true
+    speed-of-light).
+    """
+    h, w = SHAPE
+    wh = w // 2 + 1
+    macs = 12 * h * w * wh
+    flops = 2 * macs
+    bytes_min = (5 * h * w + 2 * 2 * h * wh) * 4
+    compute_bound = (V5E_BF16_FLOPS / 3) / flops
+    memory_bound = V5E_HBM_BPS / bytes_min
+    sol = min(compute_bound, memory_bound)
+    return {
+        "flops_per_image_iter": flops,
+        "bytes_per_image_iter_min": bytes_min,
+        "compute_bound_ips_bf16x3": round(compute_bound),
+        "memory_bound_ips": round(memory_bound),
+        "pct_of_speed_of_light": round(100.0 * ips / sol, 1),
+        "achieved_tflops_bf16_equiv": round(ips * flops * 3 / 1e12, 1),
+        "achieved_hbm_gbps_min_model": round(ips * bytes_min / 1e9, 1),
+    }
+
 
 def _measure(batch: int, force_cpu: bool) -> float:
     import functools
@@ -83,6 +123,16 @@ def _measure(batch: int, force_cpu: bool) -> float:
         float(make_and_solve(jax.random.PRNGKey(i + 1), b=batch))
         times.append(time.perf_counter() - t0)
     dt = min(times)
+
+    # single-image latency (same jitted program at b=1): the batched
+    # number is throughput; this is the interactive-latency denominator
+    float(make_and_solve(jax.random.PRNGKey(0), b=1))  # compile b=1
+    lat = []
+    for i in range(5):
+        t0 = time.perf_counter()
+        float(make_and_solve(jax.random.PRNGKey(i + 10), b=1))
+        lat.append(time.perf_counter() - t0)
+    print(f"latency_ms {min(lat) * 1e3:.3f}")
     return batch * ITER_NUM / dt
 
 
@@ -93,15 +143,20 @@ def _measure_subprocess(batch: int, force_cpu: bool, timeout_s: int):
     try:
         proc = subprocess.run(cmd, capture_output=True, text=True, timeout=timeout_s)
     except subprocess.TimeoutExpired:
-        return None
+        return None, None
     if proc.returncode != 0:
-        return None
+        return None, None
+    ips = latency_ms = None
     for line in proc.stdout.strip().splitlines()[::-1]:
+        if line.startswith("latency_ms "):
+            latency_ms = float(line.split()[1])
+            continue
         try:
-            return float(line)
+            ips = float(line)
+            break
         except ValueError:
             continue
-    return None
+    return ips, latency_ms
 
 
 def main() -> None:
@@ -118,19 +173,20 @@ def main() -> None:
         (256, True, 600),  # CPU fallback when the TPU tunnel is down
     ]
     for batch, cpu, budget in attempts:
-        ips = _measure_subprocess(batch, cpu, budget)
+        ips, latency_ms = _measure_subprocess(batch, cpu, budget)
         if ips is not None and ips > 0:
             backend = "cpu-fallback" if cpu else "tpu"
-            print(
-                json.dumps(
-                    {
-                        "metric": "admm_l1_image_iterations_per_s_1chip",
-                        "value": round(ips, 1),
-                        "unit": f"image-iters/s (256x256, batch={batch}, {ITER_NUM} iters, {backend})",
-                        "vs_baseline": round(ips / BASELINE_ITERS_PER_S, 2),
-                    }
-                )
-            )
+            out = {
+                "metric": "admm_l1_image_iterations_per_s_1chip",
+                "value": round(ips, 1),
+                "unit": f"image-iters/s (256x256, batch={batch}, {ITER_NUM} iters, {backend})",
+                "vs_baseline": round(ips / BASELINE_ITERS_PER_S, 2),
+            }
+            if latency_ms is not None:
+                out["single_image_latency_ms"] = round(latency_ms, 1)
+            if not cpu:
+                out["roofline"] = _roofline(ips)
+            print(json.dumps(out))
             return
     print(
         json.dumps(

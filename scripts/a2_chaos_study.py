@@ -146,6 +146,7 @@ def run_reference(scratch: str, iters: int, eps: float, seed: int,
 
 def run_ours(iters: int, out_npz: str, dtype: str = "f64") -> None:
     """Our A2 (f64 CPU) on the identical observation, trajectory recorded."""
+    sys.path.insert(0, "/root/repo")
     import jax
 
     jax.config.update("jax_platforms", "cpu")
