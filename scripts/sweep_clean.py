@@ -13,6 +13,9 @@ from __future__ import annotations
 
 import argparse
 import json
+import sys
+
+sys.path.insert(0, "/root/repo")
 
 
 def main(argv=None) -> int:

@@ -446,18 +446,19 @@ class TestNoiseFamilyOracleParity:
     get_experiment_kernel) through bm3d_colored_auto vs fresh C-binary
     oracle runs (same scenes, this harness, sigma^2=0.01 at 128^2).
 
-    Measured (ours vs oracle): gw -0.17, g1 +0.22, g2 -2.77, g3 -13.9,
-    g4 -0.01, g1w +0.30, g2w -2.76, g3w -6.7, g4w -0.20. The extreme
-    narrowband families (g2/g3: ring and diagonal-line PSDs) are a known
-    gap — the C binaries' Nf-domain computation resolves those bands
-    better; all broadband/mixed families are at parity.
+    Measured (ours vs oracle) with the round-2 scene-adaptive hard pilot
+    (core.adaptive_pilot_lambda — narrowband PSD + patch-sparse scene
+    trigger pilot_lambda=8 automatically): gw -0.17, g1 +0.51, g2 +1.28,
+    g3 +1.26, g4 -0.01, g1w +0.59, g2w +1.02, g3w -0.16, g4w -0.20.
+    Every family is within 0.35 dB of (or above) the C binaries, with no
+    per-test flags; the former g2/g3 narrowband gap (-2.8/-13.9) is gone.
     """
 
     # oracle PSNR, allowed deficit
     FAMILIES = {
-        "gw": (33.100, 0.35), "g1": (28.375, 0.35), "g2": (33.534, 3.2),
-        "g3": (49.132, 14.5), "g4": (28.394, 0.35), "g1w": (28.709, 0.35),
-        "g2w": (33.744, 3.2), "g3w": (40.950, 7.5), "g4w": (29.502, 0.35),
+        "gw": (33.100, 0.35), "g1": (28.375, 0.35), "g2": (33.534, 0.35),
+        "g3": (49.132, 0.35), "g4": (28.394, 0.35), "g1w": (28.709, 0.35),
+        "g2w": (33.744, 0.35), "g3w": (40.950, 0.35), "g4w": (29.502, 0.35),
     }
 
     @pytest.mark.parametrize("fam", sorted(FAMILIES))
@@ -576,14 +577,18 @@ class TestPilotLambdaSparseScene:
         noise = fftconvolve(draw, k, mode="same")[pad:pad + h, pad:pad + h]
         z = jnp.asarray((x + noise).astype(np.float32))
 
-        y_soft = core.bm3d_colored_auto(z, psd)
-        y_hard = core.bm3d_colored_auto(z, psd, pilot_lambda=8.0)
+        y_soft = core.bm3d_colored_auto(z, psd, adaptive_pilot=False)
+        y_auto = core.bm3d_colored_auto(z, psd)  # adaptive: picks hard here
 
         def psnr(a):
             return 10 * np.log10(1.0 / np.mean((np.asarray(a) - x) ** 2))
 
-        assert psnr(y_hard) > psnr(y_soft) + 8.0, (psnr(y_hard), psnr(y_soft))
-        assert psnr(y_hard) > 48.0, psnr(y_hard)  # C oracle: 49.13
+        # the adaptive decision must fire on this scene...
+        assert core.adaptive_pilot_lambda(
+            np.asarray(z), np.maximum(psd, psd.mean() * 1e-3)) == 8.0
+        # ...and beat the estimated-lambda path past the C oracle
+        assert psnr(y_auto) > psnr(y_soft) + 8.0, (psnr(y_auto), psnr(y_soft))
+        assert psnr(y_auto) > 48.0, psnr(y_auto)  # C oracle: 49.13
 
 
 class TestMultichannel:
