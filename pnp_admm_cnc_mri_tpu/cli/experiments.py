@@ -216,7 +216,8 @@ def run_pnp(
 
 
 def _restoration_prior(
-    model_name, iter_num, eff_nlm, sigmas, weights, x8, model_sigma1, bf16
+    model_name, iter_num, eff_nlm, sigmas, weights, x8, model_sigma1, bf16,
+    clean=False,
 ):
     """Denoiser prior for the DPIR-style restoration pipelines
     (``run_sr``/``run_deblur``): a model-zoo CNN, or ladder-driven BM3D
@@ -245,7 +246,7 @@ def _restoration_prior(
         extra["model_sigma1"] = model_sigma1
     return denoiser_mod.build_denoiser(
         model_name, iter_num=iter_num,
-        weights=denoiser_mod.resolve_weights(model_name, weights),
+        weights=denoiser_mod.resolve_weights(model_name, weights, clean=clean),
         noise_level_model=denoiser_mod.nlm_for_model(model_name, eff_nlm),
         x8=x8, compute_dtype=jnp.bfloat16 if bf16 else None, **extra,
     )
@@ -289,6 +290,7 @@ def run_deblur(
     x8: bool = False,
     model_sigma1: Optional[float] = None,
     bf16: bool = False,
+    clean: bool = False,
 ) -> Dict[str, float]:
     """PnP non-blind deblurring over a testset (new capability; the sf=1
     sibling of :func:`run_sr`, completing the DPIR degradation family the
@@ -324,7 +326,8 @@ def run_deblur(
         model_sigma1=model_sigma1 if model_sigma1 is not None else 49.0,
         model_sigma2=eff_nlm)
     denoise = _restoration_prior(
-        model_name, iter_num, eff_nlm, sigmas, weights, x8, model_sigma1, bf16)
+        model_name, iter_num, eff_nlm, sigmas, weights, x8, model_sigma1, bf16,
+        clean=clean)
 
     t0 = time.perf_counter()
     z = y
@@ -357,6 +360,7 @@ def run_sr(
     x8: bool = False,
     model_sigma1: Optional[float] = None,
     bf16: bool = False,
+    clean: bool = False,
 ) -> Dict[str, float]:
     """PnP super-resolution over a testset (new capability; the reference
     vendors ``utils/utils_sisr.py`` unused — it cannot run on modern torch).
@@ -398,7 +402,8 @@ def run_sr(
         model_sigma1=model_sigma1 if model_sigma1 is not None else 49.0,
         model_sigma2=eff_nlm)
     denoise = _restoration_prior(
-        model_name, iter_num, eff_nlm, sigmas, weights, x8, model_sigma1, bf16)
+        model_name, iter_num, eff_nlm, sigmas, weights, x8, model_sigma1, bf16,
+        clean=clean)
 
     t0 = time.perf_counter()
     z = x0

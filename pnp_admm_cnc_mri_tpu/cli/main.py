@@ -64,6 +64,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--bf16", action="store_true",
                    help="run the denoiser conv stack in bfloat16 (TPU MXU "
                         "fast path; measured quality-neutral, +-0.04 dB)")
+    p.add_argument("--clean", action="store_true",
+                   help="use the leakage-free model_zoo/<name>_clean.npz "
+                        "weights (trained on a corpus disjoint from the "
+                        "evaluation testsets; train/corpus.py) and, with "
+                        "--tuned, the TUNED_*_CLEAN settings swept for "
+                        "them. Reference-comparison claims use this path")
     p.add_argument("--tuned", action="store_true",
                    help="apply the framework's tuned settings for this "
                         "algorithm/model (config.TUNED_*, docs/USAGE.md "
@@ -161,17 +167,19 @@ def main(argv=None) -> int:
 
             it, rho = cfg_mod.PNP_L1_DEFAULTS.get(args.model, (50, 0.25))
             base = cfg_mod.ADMMConfig(iter_num=it, rho=rho)
-            if args.tuned and args.model in cfg_mod.TUNED_CONSENSUS_D:
-                base = _apply_tuned(
-                    base, cfg_mod.TUNED_CONSENSUS_D[args.model], args
-                )
+            if args.tuned:
+                treg = cfg_mod.TUNED_CONSENSUS_D_CLEAN if args.clean else {}
+                entry = treg.get(args.model) or cfg_mod.TUNED_CONSENSUS_D.get(args.model)
+                if entry:
+                    base = _apply_tuned(base, entry, args)
             cfg0 = _merge_cfg(base, args)
             extra_d = {}
             if args.model_sigma1 is not None:
                 extra_d["model_sigma1"] = args.model_sigma1
             denoise = denoiser_mod.build_denoiser(
                 args.model,
-                weights=denoiser_mod.resolve_weights(args.model, args.weights),
+                weights=denoiser_mod.resolve_weights(args.model, args.weights,
+                                                     clean=args.clean),
                 iter_num=cfg0.iter_num, x8=args.x8,
                 compute_dtype=jnp.bfloat16 if args.bf16 else None,
                 noise_level_model=denoiser_mod.nlm_for_model(args.model, args.nlm),
@@ -213,10 +221,18 @@ def main(argv=None) -> int:
         )
         if args.noise_sigma is not None:
             extra["noise_sigma255"] = args.noise_sigma
+        tuned = {}
+        if args.tuned:
+            if args.algo == "pnp_sr":
+                treg, creg = cfg_mod.TUNED_SR, cfg_mod.TUNED_SR_CLEAN
+            else:
+                treg, creg = cfg_mod.TUNED_DEBLUR, cfg_mod.TUNED_DEBLUR_CLEAN
+            tuned = (creg.get(args.model) if args.clean else None) \
+                or treg.get(args.model, {})
         out = runner(
             model_name=args.model,
-            iter_num=args.iter_num or 8,
-            nlm=args.nlm,
+            iter_num=args.iter_num or tuned.get("iter_num", 8),
+            nlm=args.nlm if args.nlm is not None else tuned.get("nlm"),
             testset=args.testset,
             **extra,
             testsets_dir=args.testsets_dir,
@@ -224,8 +240,10 @@ def main(argv=None) -> int:
             save_images=not args.no_save,
             weights=args.weights,
             x8=args.x8,
-            model_sigma1=args.model_sigma1,
+            model_sigma1=(args.model_sigma1 if args.model_sigma1 is not None
+                          else tuned.get("model_sigma1")),
             bf16=args.bf16,
+            clean=args.clean,
         )
     elif args.algo in ("admm_l1", "admm_cnc"):
         base = cfg_mod.ADMM_L1_DEFAULT if args.algo == "admm_l1" else cfg_mod.ADMM_CNC_DEFAULT
@@ -267,12 +285,16 @@ def main(argv=None) -> int:
         if args.algo == "pnp_l1_d":
             it, rho = cfg_mod.PNP_L1_DEFAULTS.get(args.model, (50, 0.25))
             base = cfg_mod.ADMMConfig(iter_num=it, rho=rho)
-            tuned = cfg_mod.TUNED_PNP_L1.get(args.model, {}) if args.tuned else {}
+            treg, creg = cfg_mod.TUNED_PNP_L1, cfg_mod.TUNED_PNP_L1_CLEAN
+            key = args.model
         else:
             key = "dncnn_pair" if (args.model2 and "dncnn" in args.model) else args.model
             a, it, lam, rho, b = cfg_mod.PNP_CNC_DEFAULTS.get(key, (0.9, 50, 0.2, 0.45, 0.3))
             base = cfg_mod.ADMMConfig(iter_num=it, lam=lam, rho=rho, alpha=a, b=b)
-            tuned = cfg_mod.TUNED_PNP_CNC.get(key, {}) if args.tuned else {}
+            treg, creg = cfg_mod.TUNED_PNP_CNC, cfg_mod.TUNED_PNP_CNC_CLEAN
+        tuned = {}
+        if args.tuned:
+            tuned = (creg.get(key) if args.clean else None) or treg.get(key, {})
         if tuned:
             base = _apply_tuned(base, tuned, args)
         cfg = _merge_cfg(base, args)
@@ -295,14 +317,16 @@ def main(argv=None) -> int:
         extra = {}
         if args.model_sigma1 is not None:
             extra["model_sigma1"] = args.model_sigma1
-        weights = denoiser_mod.resolve_weights(args.model, args.weights)
+        weights = denoiser_mod.resolve_weights(args.model, args.weights,
+                                               clean=args.clean)
         denoise = denoiser_mod.build_denoiser(
             args.model, weights=weights, iter_num=cfg.iter_num, x8=x8,
             compute_dtype=cdt, noise_level_model=_nlm_for(args.model), **extra,
         )
         denoise2 = None
         if args.model2:
-            weights2 = denoiser_mod.resolve_weights(args.model2, args.weights2)
+            weights2 = denoiser_mod.resolve_weights(args.model2, args.weights2,
+                                                    clean=args.clean)
             denoise2 = denoiser_mod.build_denoiser(
                 args.model2, weights=weights2, iter_num=cfg.iter_num, x8=x8,
                 compute_dtype=cdt, noise_level_model=_nlm_for(args.model2),

@@ -113,6 +113,21 @@ TUNED_CONSENSUS_D = {
     "dncnn_25": dict(iter_num=4, rho=3.0),         # set1 30.65
 }
 
+# Leakage-free (clean-corpus) tuned settings: swept for the
+# model_zoo/<name>_clean.npz weights (train/corpus.py; round-2). Selected
+# by the CLI's --clean --tuned combination; entries absent here fall back
+# to the TUNED_* tables above.
+TUNED_PNP_L1_CLEAN: dict = {}
+TUNED_PNP_CNC_CLEAN: dict = {}
+TUNED_CONSENSUS_D_CLEAN: dict = {}
+
+# DPIR-style restoration pipelines (pnp_sr / pnp_deblur): per-model tuned
+# (iter_num, nlm) swept on set1 (round-2, item 8 of the round-1 verdict).
+TUNED_SR: dict = {}
+TUNED_DEBLUR: dict = {}
+TUNED_SR_CLEAN: dict = {}
+TUNED_DEBLUR_CLEAN: dict = {}
+
 MASK_NAMES: Tuple[str, ...] = ("Q_Random30", "Q_Radial30", "Q_Cartesian30")
 
 # Blur kernels for the deblurring pipeline — single source of truth shared

@@ -132,7 +132,8 @@ def nlm_for_model(model_name: str, nlm255: Optional[float]) -> Optional[float]:
 
 
 def resolve_weights(model_name: str, weights: Optional[str] = None,
-                    model_zoo: Optional[str] = None) -> Optional[str]:
+                    model_zoo: Optional[str] = None,
+                    clean: bool = False) -> Optional[str]:
     """Resolve a weights path for a model name.
 
     An explicit ``weights`` path wins; otherwise look for
@@ -140,14 +141,30 @@ def resolve_weights(model_name: str, weights: Optional[str] = None,
     KAIR checkpoints in ``model_zoo/`` — ``【3】PNP_ADMM_L1_D  .py:102``).
     Returns None when nothing is found (callers may fall back to random
     init, which ``build_denoiser`` warns about).
+
+    ``clean=True`` selects ``model_zoo/<model_name>_clean.npz`` — the
+    LEAKAGE-FREE weights trained only on the clean corpus
+    (``train/corpus.py``; zero overlap with the evaluation testsets).
+    The unsuffixed weights were trained on the evaluation testset itself
+    and score higher there; reference-comparison claims use the clean
+    ones. Falls back to the unsuffixed file (with a warning) if the
+    clean file is absent.
     """
     if weights is not None:
         return weights
     zoo = model_zoo or DEFAULT_MODEL_ZOO
-    for ext in (".npz", ".pth"):
-        cand = os.path.join(zoo, model_name + ext)
-        if os.path.exists(cand):
-            return cand
+    names = ([model_name + "_clean"] if clean else []) + [model_name]
+    for name in names:
+        for ext in (".npz", ".pth"):
+            cand = os.path.join(zoo, name + ext)
+            if os.path.exists(cand):
+                if clean and name == model_name:
+                    import warnings
+
+                    warnings.warn(
+                        f"no clean weights for {model_name}; falling back "
+                        f"to the testset-trained {cand}", stacklevel=2)
+                return cand
     return None
 
 
