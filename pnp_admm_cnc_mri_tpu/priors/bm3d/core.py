@@ -196,6 +196,60 @@ def _block_distances(
     return jnp.moveaxis(d, 0, -1)
 
 
+def _block_distances_matmul(
+    match_img: jnp.ndarray, ref_pos: np.ndarray, offs: np.ndarray, bs: int
+) -> jnp.ndarray:
+    """MXU formulation of :func:`_block_distances`.
+
+    The bs x bs box sum of the shifted squared difference is two banded
+    matmuls, ``A_r @ D_o @ A_c^T``, with A the (R, H) 0/1 matrices that
+    sum ``bs`` consecutive rows/columns starting at each reference
+    position — and only the R reference rows/cols are materialized, so
+    the whole (O^2, R, R) distance volume costs two einsums on the
+    systolic array instead of 2*O^2 separable VPU convolutions.
+    Numerically identical to the convolve path up to f32 summation order
+    (Precision.HIGHEST keeps the distances f32-exact for the top_k).
+    """
+    h, w = match_img.shape
+    pad = int(max(-offs.min(), offs.max()))
+    big = jnp.asarray(1e4, match_img.dtype)
+    zp = jnp.pad(match_img, pad, constant_values=1e4)
+
+    def band(n_img):
+        a = np.zeros((len(ref_pos), n_img), np.float32)
+        for i, r in enumerate(ref_pos):
+            a[i, r : r + bs] = 1.0
+        return jnp.asarray(a, match_img.dtype)
+
+    a_r = band(h)  # (R, H)
+    a_c = band(w)  # (R, W)
+    n_off = offs.shape[0]
+    offs_j = jnp.asarray(offs)
+
+    def d2_one(o_flat):
+        oi = offs_j[o_flat // n_off]
+        oj = offs_j[o_flat % n_off]
+        shifted = jax.lax.dynamic_slice(zp, (pad + oi, pad + oj), (h, w))
+        return jnp.minimum((match_img - shifted) ** 2, big)
+
+    def chunk_fields(o_flat_chunk):
+        d2 = jax.vmap(d2_one)(o_flat_chunk)  # (C, H, W)
+        t = jnp.einsum("rh,ohw->orw", a_r, d2,
+                       precision=jax.lax.Precision.HIGHEST)
+        return jnp.einsum("orw,cw->orc", t, a_c,
+                          precision=jax.lax.Precision.HIGHEST)
+
+    total = n_off * n_off
+    chunk = 128
+    n_pad = (-total) % chunk
+    o_all = np.concatenate(
+        [np.arange(total), np.zeros(n_pad)]
+    ).astype(np.int32).reshape(-1, chunk)
+    d = jax.lax.map(chunk_fields, o_all)  # (ceil(O^2/128), 128, R, R)
+    d = d.reshape(-1, len(ref_pos), len(ref_pos))[:total]
+    return jnp.moveaxis(d, 0, -1)
+
+
 def _coeff_distances(
     coeffs: jnp.ndarray, ref_pos: np.ndarray, offs: np.ndarray
 ) -> jnp.ndarray:
@@ -249,8 +303,11 @@ def _match(
     """
     if match_coeffs is not None:
         d = _coeff_distances(match_coeffs, ref_pos, offs)  # (R, R, O^2)
-    else:
+    elif jax.default_backend() == "cpu":
         d = _block_distances(match_img, ref_pos, offs, bs)  # (R, R, O^2)
+    else:
+        # accelerators: SSD box sums as banded matmuls on the MXU
+        d = _block_distances_matmul(match_img, ref_pos, offs, bs)
     r = d.shape[0]
     d = d.reshape(r * r, -1)
     neg_d, idx = jax.lax.top_k(-d, k_max)  # (G, K)

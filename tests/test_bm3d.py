@@ -213,3 +213,49 @@ class TestOracleParity:
         # quality within 0.3 dB of the C implementation, strong agreement
         assert psnr(y, x) > psnr(yo, x) - 0.3, (psnr(y, x), psnr(yo, x))
         assert psnr(y, yo) > 30.0, psnr(y, yo)
+
+
+class TestMatmulDistances:
+    """MXU banded-matmul SSD fields == the separable-convolve fields
+    (accelerator fast path; round-2 throughput push)."""
+
+    def test_equal_on_valid_candidates(self):
+        import jax.numpy as jnp
+
+        from pnp_admm_cnc_mri_tpu.priors.bm3d import core
+
+        rng = np.random.default_rng(0)
+        img = jnp.asarray(rng.random((96, 96)).astype(np.float32))
+        ref = core._ref_grid(96 - 8 + 1, 3)
+        for search in (39, 25):  # np profile + lc profile (non-128-multiple)
+            offs = core._offsets(search, 8)
+            d1 = np.asarray(core._block_distances(img, ref, offs, 8))
+            d2 = np.asarray(core._block_distances_matmul(img, ref, offs, 8))
+            ok = d1 < 1e3  # non-poisoned candidates
+            assert np.abs(d1 - d2)[ok].max() < 1e-5
+            # poisoned candidates stay poisoned (way above any tau)
+            if (~ok).any():
+                assert d2[~ok].min() > 1e4
+
+    def test_match_identical(self):
+        import jax.numpy as jnp
+
+        from pnp_admm_cnc_mri_tpu.priors.bm3d import core
+
+        rng = np.random.default_rng(1)
+        img = jnp.asarray(rng.random((64, 64)).astype(np.float32))
+        ref = core._ref_grid(64 - 8 + 1, 3)
+        offs = core._offsets(39, 8)
+        pos1, c1 = core._match(img, ref, offs, 8, 16, 0.5)
+        orig = core._block_distances
+        core._block_distances = core._block_distances_matmul
+        try:
+            pos2, c2 = core._match(img, ref, offs, 8, 16, 0.5)
+        finally:
+            core._block_distances = orig
+        # counts and the within-count (actually used) positions must agree;
+        # the tail beyond `count` can reorder among poisoned-distance ties
+        np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
+        p1, p2, cc = np.asarray(pos1), np.asarray(pos2), np.asarray(c1)
+        for g in range(p1.shape[0]):
+            np.testing.assert_array_equal(p1[g, : cc[g]], p2[g, : cc[g]])
