@@ -116,17 +116,62 @@ TUNED_CONSENSUS_D = {
 # Leakage-free (clean-corpus) tuned settings: swept for the
 # model_zoo/<name>_clean.npz weights (train/corpus.py; round-2). Selected
 # by the CLI's --clean --tuned combination; entries absent here fall back
-# to the TUNED_* tables above.
-TUNED_PNP_L1_CLEAN: dict = {}
-TUNED_PNP_CNC_CLEAN: dict = {}
-TUNED_CONSENSUS_D_CLEAN: dict = {}
+# to the TUNED_* tables above. Comments: set1/Q_Random30 PSNR from the
+# sweep (docs/USAGE.md carries the validated full-set numbers).
+TUNED_PNP_L1_CLEAN: dict = {
+    "dncnn_15": dict(iter_num=4, rho=1.0),                # 30.37
+    "dncnn_25": dict(iter_num=4, rho=1.5),                # 29.68
+    "dncnn_50": dict(iter_num=4, rho=4.0),                # 28.39 (11.png 29.64 @ rho 6)
+    "fdncnn_gray": dict(iter_num=8, rho=0.5, nlm=8.0),    # 30.79
+    "ffdnet_gray": dict(iter_num=10, rho=0.5, nlm=8.0),   # 30.76
+    "ircnn_gray": dict(iter_num=24, rho=0.45, nlm=5.0),   # 30.86
+    "drunet_gray": dict(iter_num=50, rho=0.5, nlm=8.0, x8=False),  # 30.93 (31.02 with x8)
+}
+TUNED_PNP_CNC_CLEAN: dict = {
+    "drunet_gray": dict(iter_num=4, alpha=1.4, nlm=8.0),  # 30.54
+    "ffdnet_gray": dict(iter_num=8, alpha=1.4, nlm=12.0),  # 30.75
+    "fdncnn_gray": dict(iter_num=8, alpha=1.0, nlm=8.0),  # 30.82
+    "ircnn_gray": dict(iter_num=10, alpha=0.7, nlm=5.0),  # 30.38
+    "dncnn_pair": dict(iter_num=6, alpha=0.5),            # 29.90
+}
+TUNED_CONSENSUS_D_CLEAN: dict = {
+    "ffdnet_gray": dict(iter_num=4, rho=1.8, nlm=12.0),   # 31.01
+    "fdncnn_gray": dict(iter_num=4, rho=1.8, nlm=12.0),   # 31.00
+    "ircnn_gray": dict(iter_num=4, rho=0.8, nlm=8.0),     # 30.39
+    "dncnn_25": dict(iter_num=4, rho=3.0),                # 30.18
+    "drunet_gray": dict(iter_num=4, rho=0.8, nlm=8.0),    # 30.22
+}
 
 # DPIR-style restoration pipelines (pnp_sr / pnp_deblur): per-model tuned
-# (iter_num, nlm) swept on set1 (round-2, item 8 of the round-1 verdict).
-TUNED_SR: dict = {}
-TUNED_DEBLUR: dict = {}
-TUNED_SR_CLEAN: dict = {}
-TUNED_DEBLUR_CLEAN: dict = {}
+# (iter_num, nlm[, model_sigma1]) swept on set1 (round-2, item 8 of the
+# round-1 verdict). The conditioned models (ffdnet/fdncnn) need a LOW
+# sigma-ladder start on deblurring: the default model_sigma1=49 start
+# over-smooths past what the weak deblur data term can recover
+# (measured 19-20 dB at 49 vs ~32 dB at 10).
+TUNED_SR: dict = {
+    "drunet_gray": dict(iter_num=8, nlm=2.0),             # 35.07
+    "ffdnet_gray": dict(iter_num=8, nlm=8.0),             # 32.08
+    "fdncnn_gray": dict(iter_num=12, nlm=8.0),            # 32.29
+    "ircnn_gray": dict(iter_num=12, nlm=2.0),             # 32.38
+    "dncnn_25": dict(iter_num=8, nlm=8.0),                # 29.91
+}
+TUNED_DEBLUR: dict = {
+    "ffdnet_gray": dict(iter_num=8, nlm=8.0, model_sigma1=10.0),  # 32.28
+}
+TUNED_SR_CLEAN: dict = {
+    "drunet_gray": dict(iter_num=12, nlm=4.0),            # 32.44
+    "ffdnet_gray": dict(iter_num=8, nlm=8.0),             # 31.91
+    "fdncnn_gray": dict(iter_num=8, nlm=8.0),             # 31.96
+    "ircnn_gray": dict(iter_num=12, nlm=2.0),             # 32.24
+    "dncnn_25": dict(iter_num=8, nlm=8.0),                # 29.24
+}
+TUNED_DEBLUR_CLEAN: dict = {
+    "drunet_gray": dict(iter_num=12, nlm=4.0),            # 32.54
+    "ffdnet_gray": dict(iter_num=8, nlm=8.0, model_sigma1=10.0),  # 31.99
+    "fdncnn_gray": dict(iter_num=8, nlm=8.0, model_sigma1=10.0),  # 32.04
+    "ircnn_gray": dict(iter_num=12, nlm=2.0),             # 32.35
+    "dncnn_25": dict(iter_num=8, nlm=8.0),                # 29.30
+}
 
 MASK_NAMES: Tuple[str, ...] = ("Q_Random30", "Q_Radial30", "Q_Cartesian30")
 

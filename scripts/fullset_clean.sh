@@ -36,3 +36,7 @@ R deb_drunet   pnp_deblur --model drunet_gray --weights $Z/drunet_gray_clean.npz
 R deb_ircnn    pnp_deblur --model ircnn_gray --weights $Z/ircnn_gray_clean.npz --kernel aniso --iter_num 12 --nlm 2
 R deb_dncnn25  pnp_deblur --model dncnn_25 --weights $Z/dncnn_25_clean.npz --kernel aniso --iter_num 8 --nlm 8
 echo DONE_FULLSET_CLEAN
+# appended: conditioned-model deblur with the low sigma-ladder start
+R deb_ffdnet   pnp_deblur --model ffdnet_gray --weights $Z/ffdnet_gray_clean.npz --kernel aniso --iter_num 8 --nlm 8 --model_sigma1 10
+R deb_fdncnn   pnp_deblur --model fdncnn_gray --weights $Z/fdncnn_gray_clean.npz --kernel aniso --iter_num 8 --nlm 8 --model_sigma1 10
+echo DONE_FULLSET_CLEAN2
