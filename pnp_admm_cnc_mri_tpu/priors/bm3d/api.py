@@ -121,6 +121,18 @@ def bm3d(
     if stage_arg is not None:
         return core.wiener_stage(z, jnp.asarray(stage_arg, z.dtype),
                                  jnp.asarray(sigma, z.dtype), profile)
+    if profile.exact_white:
+        # named variants route white noise through the exact-variance
+        # colored core (see BM3DProfile.exact_white); requires a concrete
+        # sigma — traced values fall back to the fast white path
+        try:
+            sv = float(sig_np)
+        except Exception:
+            sv = None
+        if sv is not None:
+            h, w = z.shape[-2:]
+            return core.bm3d_colored(
+                z, np.full((h, w), sv**2 * h * w), profile, exact=True)
     return core.bm3d(z, sigma, profile, prefilter=prefilter)
 
 

@@ -73,6 +73,13 @@ class BM3DProfile:
     beta_wie: float = 2.0  # Kaiser beta, Wiener-stage aggregation
     # Refiltering (the reference's denoise_residual flag, profiles.py:36)
     denoise_residual: bool = False
+    # Route scalar-sigma (white) calls through the exact-variance colored
+    # core (block-overlap correlations modeled; ~2x cost). Enabled on the
+    # named variant profiles: measured on natural 128^2 scenes vs fresh
+    # C-binary runs it moves vn/vn_old/high/deb from -0.02..-0.53 dB to
+    # -0.19..+0.20 (mean -0.03). 'np' keeps the fast white path (its
+    # C-oracle output-agreement goldens pin that exact behavior).
+    exact_white: bool = False
 
 
 DEFAULT_PROFILE = BM3DProfile()
@@ -90,6 +97,7 @@ PROFILES = {
     "vn": BM3DProfile(
         max_3d_ht=32, step_ht=4, bs_wie=11, step_wie=6,
         lambda_thr3d=2.8, tau_match_wie=3500.0, search_wie=39,
+        exact_white=True,
     ),
     "lc": BM3DProfile(
         step_ht=6, search_ht=25, step_wie=5, max_3d_wie=16, search_wie=25,
@@ -97,15 +105,16 @@ PROFILES = {
     "vn_old": BM3DProfile(
         transform_ht="dct", bs_ht=12, step_ht=4, bs_wie=11, step_wie=6,
         lambda_thr3d=2.8, tau_match_wie=3500.0, tau_match_ht=5000.0,
-        search_wie=39,
+        search_wie=39, exact_white=True,
     ),
     "high": BM3DProfile(
         step_ht=2, step_wie=2, lambda_thr3d=2.5, beta=2.5, beta_wie=1.5,
-        dec_level=1,
+        dec_level=1, exact_white=True,
     ),
     "deb": BM3DProfile(
         transform_ht="dst", lambda_thr3d=2.9, bs_wie=8, step_wie=2,
         max_3d_wie=16, search_wie=39, tau_match_wie=800.0, beta_wie=0.0,
+        exact_white=True,
     ),
 }
 
