@@ -147,13 +147,12 @@ def _measure_subprocess(batch: int, force_cpu: bool, timeout_s: int):
     if proc.returncode != 0:
         return None, None
     ips = latency_ms = None
-    for line in proc.stdout.strip().splitlines()[::-1]:
+    for line in proc.stdout.strip().splitlines():
         if line.startswith("latency_ms "):
             latency_ms = float(line.split()[1])
             continue
         try:
             ips = float(line)
-            break
         except ValueError:
             continue
     return ips, latency_ms

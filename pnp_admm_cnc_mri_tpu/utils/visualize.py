@@ -87,3 +87,48 @@ def enlarge_region(
     enlarged = _resize_bilinear(crop, h, w)
     enlarged = draw_box(enlarged, (0, 0), (w, h), thickness=thickness)
     return annotated, enlarged
+
+
+def imshow(x, title=None, cbar=False, figsize=None, show=True):
+    """Grayscale display helper (reference ``utils_image.py:33-40``).
+
+    ``show=False`` returns the figure instead of blocking on plt.show()
+    (headless/test use). Matplotlib is imported lazily — the solve paths
+    never require it.
+    """
+    import matplotlib
+
+    if not show:
+        matplotlib.use("Agg", force=False)
+    import matplotlib.pyplot as plt
+
+    fig = plt.figure(figsize=figsize)
+    plt.imshow(np.squeeze(np.asarray(x)), interpolation="nearest", cmap="gray")
+    if title:
+        plt.title(title)
+    if cbar:
+        plt.colorbar()
+    if show:
+        plt.show()
+    return fig
+
+
+def surf(z, show=True):
+    """3-D surface display helper (reference ``utils_image.py:43-47``;
+    the reference hardcodes a 25x25 grid — here the grid follows ``z``'s
+    shape so any surface displays correctly)."""
+    import matplotlib
+
+    if not show:
+        matplotlib.use("Agg", force=False)
+    import matplotlib.pyplot as plt
+
+    z = np.asarray(z)
+    fig = plt.figure()
+    ax = fig.add_subplot(projection="3d")
+    yy, xx = np.mgrid[0 : z.shape[0], 0 : z.shape[1]]
+    ax.plot_surface(xx, yy, z, rstride=1, cstride=1, cmap="rainbow")
+    fig.tight_layout()
+    if show:
+        plt.show()
+    return fig

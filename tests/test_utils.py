@@ -233,3 +233,26 @@ class TestDeviceComplex:
         assert out32.dtype == jnp.complex64
         np.testing.assert_allclose(np.asarray(out32),
                                    host.astype(np.complex64), rtol=0, atol=0)
+
+
+class TestDisplayHelpers:
+    """imshow/surf (reference utils_image.py:33-47) in headless mode."""
+
+    def test_imshow_returns_figure(self):
+        from pnp_admm_cnc_mri_tpu.utils import visualize
+
+        fig = visualize.imshow(np.random.rand(8, 8), title="t", cbar=True,
+                               show=False)
+        assert fig is not None
+        import matplotlib.pyplot as plt
+
+        plt.close(fig)
+
+    def test_surf_arbitrary_grid(self):
+        from pnp_admm_cnc_mri_tpu.utils import visualize
+
+        fig = visualize.surf(np.random.rand(9, 13), show=False)
+        assert fig is not None
+        import matplotlib.pyplot as plt
+
+        plt.close(fig)
