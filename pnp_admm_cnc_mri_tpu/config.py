@@ -156,7 +156,11 @@ TUNED_SR: dict = {
     "dncnn_25": dict(iter_num=8, nlm=8.0),                # 29.91
 }
 TUNED_DEBLUR: dict = {
+    "drunet_gray": dict(iter_num=8, nlm=2.0),             # 35.13
     "ffdnet_gray": dict(iter_num=8, nlm=8.0, model_sigma1=10.0),  # 32.28
+    "fdncnn_gray": dict(iter_num=12, nlm=8.0, model_sigma1=10.0),  # 32.37
+    "ircnn_gray": dict(iter_num=12, nlm=2.0),             # 32.51
+    "dncnn_25": dict(iter_num=8, nlm=8.0),                # 29.97
 }
 TUNED_SR_CLEAN: dict = {
     "drunet_gray": dict(iter_num=12, nlm=4.0),            # 32.44

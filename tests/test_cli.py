@@ -130,3 +130,58 @@ def test_run_deblur_bm3d_prior(tmp_path):
     # blocky scene + wide gaussian blur is hard at 2 ladder steps; the
     # blurred observation itself sits at ~20 dB
     assert out["psnr"] > 22.0
+
+
+class TestCleanWeights:
+    """--clean flag: leakage-free weight resolution + tuned-clean tables."""
+
+    def test_resolve_clean_prefers_clean_file(self):
+        from pnp_admm_cnc_mri_tpu.priors import denoiser as dn
+
+        p = dn.resolve_weights("dncnn_25", clean=True)
+        assert p is not None and p.endswith("dncnn_25_clean.npz"), p
+        p2 = dn.resolve_weights("dncnn_25", clean=False)
+        assert p2 is not None and p2.endswith("dncnn_25.npz"), p2
+
+    def test_resolve_clean_fallback_warns(self, tmp_path):
+        import warnings
+
+        import numpy as np
+
+        from pnp_admm_cnc_mri_tpu.priors import denoiser as dn
+
+        np.savez(tmp_path / "foo.npz", a=np.zeros(1))
+        with warnings.catch_warnings(record=True) as rec:
+            warnings.simplefilter("always")
+            p = dn.resolve_weights("foo", clean=True, model_zoo=str(tmp_path))
+        assert p.endswith("foo.npz")
+        assert any("clean" in str(w.message) for w in rec)
+
+    def test_clean_tuned_registry_has_all_families(self):
+        from pnp_admm_cnc_mri_tpu import config as cfg
+
+        for name in cfg.MODEL_NAMES:
+            assert name in cfg.TUNED_PNP_L1_CLEAN, name
+        for reg in (cfg.TUNED_SR, cfg.TUNED_DEBLUR, cfg.TUNED_SR_CLEAN,
+                    cfg.TUNED_DEBLUR_CLEAN):
+            for name in ("drunet_gray", "ffdnet_gray", "fdncnn_gray",
+                         "ircnn_gray", "dncnn_25"):
+                assert name in reg, (name, reg)
+
+    def test_clean_cli_end_to_end(self):
+        """--clean --tuned dncnn_25 reproduces the swept clean number."""
+        import contextlib
+        import io
+        import json
+
+        from pnp_admm_cnc_mri_tpu.cli import main as cli_main
+
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            cli_main.main(["pnp_l1_d", "--cpu", "--clean", "--tuned",
+                           "--model", "dncnn_25", "--testset", "set1",
+                           "--no_save", "--results_dir",
+                           "/tmp/pnpadmm_test_results"])
+        out = json.loads(buf.getvalue().strip().splitlines()[-1])
+        assert abs(out["psnr"] - 29.684) < 0.05, out
+        assert out["iters"] == 4
