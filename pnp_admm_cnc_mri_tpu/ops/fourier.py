@@ -153,6 +153,66 @@ def matmul_irfft2(yr: jnp.ndarray, yi: jnp.ndarray, h: int, w: int,
             - ein("...hk,kw->...hw", xi * wk, sw[:wh, :])) / w
 
 
+def _packed_dc_mats(h: int, w: int, dtype):
+    """One-time DFT matrices for the Nyquist-packed matmul DC solve (even W).
+
+    The rfft half-grid is ``wh = w//2 + 1`` wide — 129 at the framework's
+    256px working size. MXU lane tiles are 128 wide, so every einsum over
+    that dim pads 129 -> 256: a measured 2x waste (docs/PERF.md
+    "Lane-packing probe"). For even W the DC (k=0) and Nyquist (k=w/2)
+    row-transform outputs are both REAL, and the sin matrix's DC column
+    (``sin(0) = 0``) contributes nothing — so the Nyquist column can ride
+    the existing einsums in that dead slot via ONE-TIME matrix edits,
+    with zero per-iteration packing traffic (the failure mode of the
+    concat-based packing probe):
+
+    - forward: ``swf[:, 0] = -(-1)^j`` makes ``xi[..., 0] = x @ (-1)^j``
+      = the real Nyquist column, so the H-axis complex DFT of column 0
+      computes ``DFT(DC + i*Nyq)`` — the classic two-real-FFTs-in-one
+      packing, recoverable by Hermitian split.
+    - inverse: ``swi[0, :] = -(-1)^w`` makes the (otherwise dead,
+      ``sin(0)=0``) imag slot of column 0 synthesize the Nyquist
+      contribution ``x~_nyq * (-1)^w``.
+
+    Also returns ``ch - sh`` / ``ch + sh`` for the 3-matmul Karatsuba
+    complex product on the H axis (``(C - iS)(xr + i xi)`` needs only
+    ``C xr``, ``S xi``, ``(C - S)(xr + xi)``), cutting the 8 H-axis
+    matmuls per iteration to 6.
+    """
+    cw, sw = _dft_mats(w, dtype)
+    ch, sh = (cw, sw) if h == w else _dft_mats(h, dtype)
+    whp = w // 2
+    alt = cw[:, whp]  # cos(pi*j) = (-1)^j
+    cwf = cw[:, :whp]
+    swf = sw[:, :whp].at[:, 0].set(-alt)
+    cwi = cw[:whp, :]
+    swi = sw[:whp, :].at[0, :].set(-alt)
+    return cwf, swf, ch, sh, ch - sh, ch + sh, cwi, swi
+
+
+# Probe toggles for the matmul DC solve (scripts/dc_formulation_probe.py);
+# both measured faster on v5e, so both default on. Packing requires even W
+# (odd W has no Nyquist bin and already has a 128-divisible half width no
+# more often than even W; the unpacked path serves it).
+_MATMUL_PACKED = True
+_MATMUL_K3 = True
+
+
+def resolve_dc_method(method: str, y) -> str:
+    """'auto' -> 'matmul' on accelerator backends for small/medium images
+    (the MXU DFT-as-matmul path, 2.6x on v5e at 256px), 'fft' on CPU or
+    for large images where the O(N^2) DFT matrices stop paying off."""
+    if method != "auto":
+        return method
+    try:
+        platform = jax.devices()[0].platform
+    except Exception:  # backend not initialized / unreachable
+        return "fft"
+    if platform == "cpu":
+        return "fft"
+    return "matmul" if max(y.shape[-2:]) <= 1024 else "fft"
+
+
 def make_rfft_data_consistency(y: jnp.ndarray, mask: jnp.ndarray, rho,
                                method: str = "fft"):
     """Half-spectrum (rfft) data-consistency solve — 2x less FFT work.
@@ -200,6 +260,8 @@ def make_rfft_data_consistency(y: jnp.ndarray, mask: jnp.ndarray, rho,
         cr = c_half.real
         ci = c_half.imag
         dt = y.real.dtype
+        if _MATMUL_PACKED and w % 2 == 0:
+            return _make_packed_matmul_dc(a_half, cr, ci, h, w, dt)
         mats = _dft_mats(w, dt)[0:2] + _dft_mats(h, dt)[0:2] if h != w else None
         if mats is None:
             cw, sw = _dft_mats(w, dt)
@@ -219,6 +281,94 @@ def make_rfft_data_consistency(y: jnp.ndarray, mask: jnp.ndarray, rho,
         vf = jnp.fft.rfft2(v, axes=(-2, -1))
         hf = a_half * vf + c_half
         return jnp.abs(jnp.fft.irfft2(hf, s=(h, w), axes=(-2, -1)))
+
+    return dc
+
+
+def _make_packed_matmul_dc(a_half, cr, ci, h: int, w: int, dt):
+    """Nyquist-packed MXU data-consistency solve (even W) — see
+    ``_packed_dc_mats`` for the packing scheme and why it is free.
+
+    Same math as the unpacked matmul path (bit-equal in exact arithmetic;
+    tested to 1e-4 f32 / 1e-10 f64 against the rfft path), with every
+    einsum exactly 128-lane-aligned at the 256px working size and the
+    H-axis complex products done with 3 matmuls instead of 4
+    (Karatsuba). Column 0 of the half-grid arrays carries the packed
+    ``DC + i*Nyquist`` pair; the blend unpacks it by Hermitian split
+    (both blended columns are Hermitian along H — the blend coefficients
+    satisfy ``a(-k) = a(k)``, ``c(-k) = conj(c(k))`` on those columns —
+    so the inverse H-transform of the re-packed column is exactly
+    ``x~_dc + i*x~_nyq`` with both parts real).
+    """
+    whp = w // 2
+    pmats = _packed_dc_mats(h, w, dt)
+    # Blend coefficients: middle columns as a block; DC / Nyquist columns
+    # (slots 0 and wh-1 of the half grid) handled through the packed slot.
+    a128 = a_half[..., :whp]
+    cr128 = cr[..., :whp]
+    ci128 = ci[..., :whp]
+    a0, aN = a_half[..., 0], a_half[..., -1]
+    c0r, c0i = cr[..., 0], ci[..., 0]
+    cNr, cNi = cr[..., -1], ci[..., -1]
+    k3 = _MATMUL_K3
+
+    def _rev(p):  # index reversal m -> (-m) mod h along the trailing axis
+        return jnp.roll(jnp.flip(p, -1), 1, -1)
+
+    def dc(v: jnp.ndarray) -> jnp.ndarray:
+        cwf, swf, ch, sh, cms, cps, cwi, swi = (
+            m.astype(v.dtype) for m in pmats)
+        P = jax.lax.Precision.HIGH  # see matmul_rfft2
+        ein = functools.partial(jnp.einsum, precision=P)
+        # W axis: real DFT, 128 columns; xi[..., 0] = Nyquist (swf edit).
+        xr = ein("...hw,wk->...hk", v, cwf)
+        xi = -ein("...hw,wk->...hk", v, swf)
+        # H axis: y = (C - iS)(xr + i xi).
+        if k3:
+            m1 = ein("mh,...hk->...mk", ch, xr)
+            m2 = -ein("mh,...hk->...mk", sh, xi)
+            m3 = ein("mh,...hk->...mk", cms, xr + xi)
+            yr = m1 - m2
+            yi = m3 - m1 - m2
+        else:
+            yr = ein("mh,...hk->...mk", ch, xr) + ein("mh,...hk->...mk", sh, xi)
+            yi = ein("mh,...hk->...mk", ch, xi) - ein("mh,...hk->...mk", sh, xr)
+        # Unpack column 0: P = DC + i*Nyq -> Hermitian split along H.
+        pr, pi = yr[..., 0], yi[..., 0]
+        prr, pir = _rev(pr), _rev(pi)
+        dcr, dci = 0.5 * (pr + prr), 0.5 * (pi - pir)
+        nqr, nqi = 0.5 * (pi + pir), 0.5 * (prr - pr)
+        # Blend the two real-pair columns, then re-pack Q = H0 + i*HN.
+        h0r = a0 * dcr + c0r
+        h0i = a0 * dci + c0i
+        hnr = aN * nqr + cNr
+        hni = aN * nqi + cNi
+        qr, qi = h0r - hni, h0i + hnr
+        br = a128 * yr + cr128
+        bi = a128 * yi + ci128
+        br = br.at[..., 0].set(qr.astype(v.dtype))
+        bi = bi.at[..., 0].set(qi.astype(v.dtype))
+        br, bi = br.astype(v.dtype), bi.astype(v.dtype)
+        # Inverse H axis: x~ = (C^T + iS^T)(br + i bi) / h.
+        if k3:
+            n1 = ein("hm,...hk->...mk", ch, br)
+            n2 = ein("hm,...hk->...mk", sh, bi)
+            n3 = ein("hm,...hk->...mk", cps, br + bi)
+            tr = (n1 - n2) / h
+            ti = (n3 - n1 - n2) / h
+        else:
+            tr = (ein("hm,...hk->...mk", ch, br)
+                  - ein("hm,...hk->...mk", sh, bi)) / h
+            ti = (ein("hm,...hk->...mk", ch, bi)
+                  + ein("hm,...hk->...mk", sh, br)) / h
+        # W-axis synthesis. Interior bins weight 2 (conjugate twins
+        # implicit); the packed slot 0 carries DC in tr (weight 1, rides
+        # cwi row 0 = ones) and Nyquist in ti (weight 1, rides the swi
+        # row-0 edit = -(-1)^w through the minus sign below).
+        wk = jnp.full((whp,), 2.0, v.dtype).at[0].set(1.0)
+        out = (ein("...hk,kw->...hw", tr * wk, cwi)
+               - ein("...hk,kw->...hw", ti * wk, swi)) / w
+        return jnp.abs(out)
 
     return dc
 

@@ -32,11 +32,15 @@ def run_consensus(
     cfg: ADMMConfig,
     z_prox: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray] | None = None,
     dtype=jnp.float32,
+    dc_method: str = "auto",
 ):
     """Batched consensus solve: ``ys``/``masks`` have a leading axis of N
     observations of the same image. Returns (z, per-obs x).
 
     ``z_prox(v, i)`` defaults to the L1 soft-threshold with cfg.rho*cfg.lam.
+    ``dc_method`` as in ``solvers.admm.run_admm``: 'auto' picks the MXU
+    DFT-as-matmul data-consistency solve on accelerators and the FFT
+    kernel on CPU (same math; see ``fourier.resolve_dc_method``).
     """
     if z_prox is None:
         z_prox = lambda v, i: prox.soft(v, cfg.rho * cfg.lam)
@@ -44,7 +48,8 @@ def run_consensus(
     x0 = jnp.abs(fourier.zero_fill(ys)).astype(dtype)
     z0 = jnp.mean(x0, axis=0)
     w0 = jnp.zeros_like(x0)
-    dc = fourier.make_rfft_data_consistency(ys, masks, cfg.rho)
+    dc = fourier.make_rfft_data_consistency(
+        ys, masks, cfg.rho, method=fourier.resolve_dc_method(dc_method, ys))
 
     def step(carry, i):
         z, w = carry
@@ -67,20 +72,23 @@ def run_consensus_sharded(
     axis: str = "data",
     dtype=jnp.float32,
     z_prox=None,
+    dc_method: str = "auto",
 ):
     """shard_map version: each device owns a slice of the observations; the
     consensus mean is a ``lax.pmean`` collective over the mesh axis.
     ``z_prox(v, i)`` is pluggable like in ``run_consensus`` (defaults to the
-    L1 soft-threshold)."""
+    L1 soft-threshold); ``dc_method`` as in ``run_consensus``."""
     if z_prox is None:
         z_prox = lambda v, i: prox.soft(v, cfg.rho * cfg.lam)
+    dc_method = fourier.resolve_dc_method(dc_method, ys)
 
     def local_solve(ys_l, masks_l):
         x0 = jnp.abs(fourier.zero_fill(ys_l)).astype(dtype)
         # global init: mean of |A^H y| across ALL shards
         z0 = jax.lax.pmean(jnp.mean(x0, axis=0), axis)
         w0 = jnp.zeros_like(x0)
-        dc = fourier.make_rfft_data_consistency(ys_l, masks_l, cfg.rho)
+        dc = fourier.make_rfft_data_consistency(
+            ys_l, masks_l, cfg.rho, method=dc_method)
 
         def step(carry, i):
             z, w = carry

@@ -84,19 +84,9 @@ def admm_step(
     return ADMMState(x=x, z=z, w=w)
 
 
-def _resolve_dc_method(method: str, y) -> str:
-    """'auto' -> 'matmul' on accelerator backends for small/medium images
-    (the MXU DFT-as-matmul path, 2.6x on v5e at 256px), 'fft' on CPU or
-    for large images where the O(N^2) DFT matrices stop paying off."""
-    if method != "auto":
-        return method
-    try:
-        platform = jax.devices()[0].platform
-    except Exception:  # backend not initialized / unreachable
-        return "fft"
-    if platform == "cpu":
-        return "fft"
-    return "matmul" if max(y.shape[-2:]) <= 1024 else "fft"
+# Back-compat alias: the resolver moved to ops.fourier so non-solver
+# callers (parallel/consensus.py) can share it without importing solvers.
+_resolve_dc_method = fourier.resolve_dc_method
 
 
 def run_admm(

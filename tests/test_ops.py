@@ -220,6 +220,63 @@ class TestMatmulDFT:
                             dc_method="matmul")
         np.testing.assert_allclose(np.asarray(b.x), np.asarray(a.x), atol=1e-9)
 
+    @pytest.mark.parametrize("packed,k3", [(True, True), (True, False),
+                                           (False, False)])
+    def test_dc_packed_formulations_equal_fft(self, packed, k3, rng):
+        """Nyquist-packed / Karatsuba matmul DC variants are exact.
+
+        The packed path rides the Nyquist column in the sin-matrix DC
+        slots (``fourier._packed_dc_mats``); all formulations are the
+        same math reassociated, so f64 agreement must be ~machine eps.
+        """
+        h, w = 24, 32
+        v = rng.random((3, h, w))
+        mask = (rng.random((h, w)) < 0.3).astype(np.float64)
+        y = np.fft.fft2(rng.random((h, w))) * mask + (
+            rng.normal(size=(h, w)) + 1j * rng.normal(size=(h, w)))
+        dc_f = fourier.make_rfft_data_consistency(
+            jnp.asarray(y), jnp.asarray(mask), 0.015)
+        old = fourier._MATMUL_PACKED, fourier._MATMUL_K3
+        try:
+            fourier._MATMUL_PACKED, fourier._MATMUL_K3 = packed, k3
+            dc_m = fourier.make_rfft_data_consistency(
+                jnp.asarray(y), jnp.asarray(mask), 0.015, method="matmul")
+            got = np.asarray(dc_m(jnp.asarray(v)))
+        finally:
+            fourier._MATMUL_PACKED, fourier._MATMUL_K3 = old
+        np.testing.assert_allclose(got, np.asarray(dc_f(jnp.asarray(v))),
+                                   atol=1e-12)
+
+    def test_dc_packed_odd_width_falls_back(self, rng):
+        """Odd W has no Nyquist bin: the matmul path must still be exact
+        (it routes to the unpacked formulation)."""
+        h, w = 24, 31
+        v = rng.random((h, w))
+        mask = (rng.random((h, w)) < 0.4).astype(np.float64)
+        y = np.fft.fft2(rng.random((h, w))) * mask
+        dc_f = fourier.make_rfft_data_consistency(
+            jnp.asarray(y), jnp.asarray(mask), 0.1)
+        dc_m = fourier.make_rfft_data_consistency(
+            jnp.asarray(y), jnp.asarray(mask), 0.1, method="matmul")
+        np.testing.assert_allclose(np.asarray(dc_m(jnp.asarray(v))),
+                                   np.asarray(dc_f(jnp.asarray(v))),
+                                   atol=1e-12)
+
+    def test_dc_packed_batched_masks(self, rng):
+        """Leading mask/observation batch dims (the consensus layout)
+        broadcast through the packed blend's column slices."""
+        h, w = 16, 32
+        masks = (rng.random((4, h, w)) < 0.3).astype(np.float64)
+        y = np.fft.fft2(rng.random((h, w)))[None] * masks
+        v = rng.random((4, h, w))
+        dc_f = fourier.make_rfft_data_consistency(
+            jnp.asarray(y), jnp.asarray(masks), 0.015)
+        dc_m = fourier.make_rfft_data_consistency(
+            jnp.asarray(y), jnp.asarray(masks), 0.015, method="matmul")
+        np.testing.assert_allclose(np.asarray(dc_m(jnp.asarray(v))),
+                                   np.asarray(dc_f(jnp.asarray(v))),
+                                   atol=1e-12)
+
     def test_matmul_rfft2_f32_accuracy(self, rng):
         """Phase reduction keeps the f32 path close to jnp.fft at f32
         (unreduced angles cost ~275x accuracy at 256x256)."""
