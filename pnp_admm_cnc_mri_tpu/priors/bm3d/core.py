@@ -360,6 +360,138 @@ def _haar_bank(k_max: int):
 
 
 # ---------------------------------------------------------------------------
+# Shared-prefix Haar tree stack filtering
+# ---------------------------------------------------------------------------
+#
+# The per-size einsum loop evaluates every stack size s in {1,2,4,..,K}
+# as (s,s) matmuls over all G groups — sum_s s^2 = 341 MACs/coefficient
+# at K=16, at contraction dims (<=16) the MXU pads to full tiles. But the
+# orthonormal Haar transform is dyadic: the transform of the first
+# 2^j rows is a PREFIX of the butterfly tree over all K rows, so ONE
+# elementwise tree (K-1 butterflies) yields every size's coefficients at
+# once, and one select-guided inverse tree reconstructs each group at
+# its own matched size. Same math (Haar values identical up to row
+# order/sign, both irrelevant to |c|-thresholding, Wiener c^2 shrinkage
+# and the orthonormal inverse); only float summation order differs.
+# Auto-selected on accelerators; CPU keeps the matrix loop so the
+# C-oracle/golden suites are bit-unchanged (same policy as approx_max_k).
+
+_STACK_FILTER_TREE: Optional[bool] = None  # None = auto (tree off-CPU)
+
+
+def _use_tree_filter(k_max: int = 16) -> bool:
+    if k_max & (k_max - 1):  # tree needs a power-of-2 stack width
+        return False
+    if _STACK_FILTER_TREE is not None:
+        return _STACK_FILTER_TREE
+    return jax.default_backend() != "cpu"
+
+
+def _haar_tree_fwd(groups: jnp.ndarray):
+    """Butterfly cascade over the stack axis of (G, K, C), K a power of 2.
+
+    Returns (scal, det): ``scal[l]`` (G, K/2^l, C) level-l scaling
+    coefficients (``scal[0]`` is the input), ``det[l]`` the level-l
+    details (``det[0]`` is None). Entry i of level l is computed from
+    input rows [i*2^l, (i+1)*2^l) — the prefix property that makes every
+    stack size's transform a sub-tree.
+    """
+    r2i = np.asarray(1.0 / np.sqrt(2.0), groups.dtype)
+    scal, det = [groups], [None]
+    s = groups
+    while s.shape[1] > 1:
+        a, b = s[:, 0::2, :], s[:, 1::2, :]
+        s = (a + b) * r2i
+        det.append((a - b) * r2i)
+        scal.append(s)
+    return scal, det
+
+
+def _interleave_rows(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    g, m, c = x.shape
+    return jnp.stack([x, y], axis=2).reshape(g, 2 * m, c)
+
+
+def _tree_select_nnz(per_level, scal_root, counts, k_max: int):
+    """sum over the size-2^j coefficient set, selected per group by count.
+
+    ``per_level[l]`` (G, K/2^l, C): per-coefficient summand at detail
+    level l (l >= 1); ``scal_root[j]`` (G,) the root-scaling summand for
+    candidate size 2^j. Returns (G,) selected sums.
+    """
+    n_lev = int(np.log2(k_max))
+    out = 0.0
+    for j in range(n_lev + 1):
+        tot = scal_root[j]
+        for l in range(1, j + 1):
+            tot = tot + per_level[l][:, : 2 ** (j - l), :].sum(axis=(1, 2))
+        out = jnp.where(counts == 2**j, tot, out)
+    return out
+
+
+def _tree_synth(hat_s, hat_d, counts, k_max: int) -> jnp.ndarray:
+    """Inverse Haar tree with per-group root selection.
+
+    ``hat_s[l]`` / ``hat_d[l]``: filtered scaling/detail nodes. Groups of
+    size 2^j reconstruct from root ``hat_s[j][:, 0]``; rows >= count come
+    out as don't-care values and are killed by the zero aggregation
+    weights (exactly like the matrix path's zero padding).
+    """
+    r2i = np.asarray(1.0 / np.sqrt(2.0), hat_s[0].dtype)
+    n_lev = int(np.log2(k_max))
+    s = hat_s[n_lev]
+    for l in range(n_lev, 0, -1):
+        up = _interleave_rows((s + hat_d[l]) * r2i, (s - hat_d[l]) * r2i)
+        s = jnp.where((counts >= 2**l)[:, None, None], up, hat_s[l - 1])
+    return s
+
+
+def _tree_filter_ht(groups, counts, thr, sigma, k_max: int):
+    """Tree-form hard-threshold stack filter -> (hat, wts).
+
+    Equivalent to the per-size einsum loop in ``ht_stage`` (same
+    coefficient VALUES per the prefix property; thresholding and nnz are
+    order/sign-invariant)."""
+    scal, det = _haar_tree_fwd(groups)
+    keep_s = [jnp.abs(x) > thr for x in scal]
+    hat_s = [jnp.where(k, x, 0.0) for k, x in zip(keep_s, scal)]
+    keep_d = [None] + [jnp.abs(x) > thr for x in det[1:]]
+    hat_d = [None] + [jnp.where(k, x, 0.0) for k, x in zip(keep_d[1:], det[1:])]
+    dt = groups.dtype
+    nnz = _tree_select_nnz(
+        [None] + [k.astype(dt) for k in keep_d[1:]],
+        [keep_s[j][:, 0, :].astype(dt).sum(-1) for j in range(len(scal))],
+        counts, k_max)
+    w_g = 1.0 / (sigma**2 * jnp.maximum(nnz, 1.0))
+    hat = _tree_synth(hat_s, hat_d, counts, k_max)
+    row_valid = jnp.arange(k_max)[None, :] < counts[:, None]
+    wts = jnp.where(row_valid, w_g[:, None], 0.0).astype(dt)
+    return hat, wts
+
+
+def _tree_filter_wiener(gz, gp, counts, sigma_w, k_max: int):
+    """Tree-form Wiener stack filter -> (hat, wts); mirrors the per-size
+    einsum loop in ``wiener_stage``."""
+    scal_z, det_z = _haar_tree_fwd(gz)
+    scal_p, det_p = _haar_tree_fwd(gp)
+    s2 = sigma_w**2
+    wien_s = [p**2 / (p**2 + s2) for p in scal_p]
+    wien_d = [None] + [p**2 / (p**2 + s2) for p in det_p[1:]]
+    hat_s = [z * w for z, w in zip(scal_z, wien_s)]
+    hat_d = [None] + [z * w for z, w in zip(det_z[1:], wien_d[1:])]
+    dt = gz.dtype
+    wsum = _tree_select_nnz(
+        [None] + [w**2 for w in wien_d[1:]],
+        [(wien_s[j][:, 0, :] ** 2).sum(-1) for j in range(len(scal_z))],
+        counts, k_max)
+    w_g = 1.0 / (s2 * jnp.maximum(wsum, 1e-10))
+    hat = _tree_synth(hat_s, hat_d, counts, k_max)
+    row_valid = jnp.arange(k_max)[None, :] < counts[:, None]
+    wts = jnp.where(row_valid, w_g[:, None], 0.0).astype(dt)
+    return hat, wts
+
+
+# ---------------------------------------------------------------------------
 # Stages
 # ---------------------------------------------------------------------------
 
@@ -446,25 +578,28 @@ def ht_stage(
     groups = _group_coeffs(t2b, pos, nw)  # (G, K, 64)
     thr = p.lambda_thr3d * sigma
 
-    sizes, haar_f, haar_i = _haar_bank(p.max_3d_ht)
-    g = groups.shape[0]
-    hat = jnp.zeros_like(groups)
-    wts = jnp.zeros((g, p.max_3d_ht), groups.dtype)
-    for s, hf, hi in zip(sizes, haar_f, haar_i):
-        c3 = jnp.einsum("st,gtc->gsc", hf, groups[:, :s, :])
-        keep = jnp.abs(c3) > thr
-        c3 = jnp.where(keep, c3, 0.0)
-        nnz = jnp.sum(keep, axis=(1, 2)).astype(groups.dtype)
-        w_g = 1.0 / (sigma**2 * jnp.maximum(nnz, 1.0))
-        blocks_s = jnp.einsum("ts,gsc->gtc", hi, c3)  # (G, s, 64)
-        pad_k = p.max_3d_ht - s
-        blocks_s = jnp.pad(blocks_s, ((0, 0), (0, pad_k), (0, 0)))
-        sel = (counts == s)[:, None, None]
-        hat = jnp.where(sel, blocks_s, hat)
-        w_b = jnp.pad(
-            jnp.broadcast_to(w_g[:, None], (g, s)), ((0, 0), (0, pad_k))
-        )
-        wts = jnp.where(sel[:, :, 0], w_b, wts)
+    if _use_tree_filter(p.max_3d_ht):
+        hat, wts = _tree_filter_ht(groups, counts, thr, sigma, p.max_3d_ht)
+    else:
+        sizes, haar_f, haar_i = _haar_bank(p.max_3d_ht)
+        g = groups.shape[0]
+        hat = jnp.zeros_like(groups)
+        wts = jnp.zeros((g, p.max_3d_ht), groups.dtype)
+        for s, hf, hi in zip(sizes, haar_f, haar_i):
+            c3 = jnp.einsum("st,gtc->gsc", hf, groups[:, :s, :])
+            keep = jnp.abs(c3) > thr
+            c3 = jnp.where(keep, c3, 0.0)
+            nnz = jnp.sum(keep, axis=(1, 2)).astype(groups.dtype)
+            w_g = 1.0 / (sigma**2 * jnp.maximum(nnz, 1.0))
+            blocks_s = jnp.einsum("ts,gsc->gtc", hi, c3)  # (G, s, 64)
+            pad_k = p.max_3d_ht - s
+            blocks_s = jnp.pad(blocks_s, ((0, 0), (0, pad_k), (0, 0)))
+            sel = (counts == s)[:, None, None]
+            hat = jnp.where(sel, blocks_s, hat)
+            w_b = jnp.pad(
+                jnp.broadcast_to(w_g[:, None], (g, s)), ((0, 0), (0, pad_k))
+            )
+            wts = jnp.where(sel[:, :, 0], w_b, wts)
 
     hat_spatial = hat @ k2i.T
     window = tr.kaiser_window(bs, p.beta)
@@ -505,23 +640,26 @@ def wiener_stage(
     # (The C scalar-sigma entry path behaves closer to sigma^2*sqrt(mu2);
     # we standardize on the full-PSD pipeline convention.)
     sigma_w = sigma * jnp.sqrt(p.mu2)
-    sizes, haar_f, haar_i = _haar_bank(p.max_3d_wie)
-    g = gz.shape[0]
-    hat = jnp.zeros_like(gz)
-    wts = jnp.zeros((g, p.max_3d_wie), gz.dtype)
-    for s, hf, hi in zip(sizes, haar_f, haar_i):
-        cz = jnp.einsum("st,gtc->gsc", hf, gz[:, :s, :])
-        cp = jnp.einsum("st,gtc->gsc", hf, gp[:, :s, :])
-        wien = cp**2 / (cp**2 + sigma_w**2)
-        cz = cz * wien
-        w_g = 1.0 / (sigma_w**2 * jnp.maximum(jnp.sum(wien**2, axis=(1, 2)), 1e-10))
-        blocks_s = jnp.einsum("ts,gsc->gtc", hi, cz)
-        pad_k = p.max_3d_wie - s
-        blocks_s = jnp.pad(blocks_s, ((0, 0), (0, pad_k), (0, 0)))
-        sel = (counts == s)[:, None, None]
-        hat = jnp.where(sel, blocks_s, hat)
-        w_b = jnp.pad(jnp.broadcast_to(w_g[:, None], (g, s)), ((0, 0), (0, pad_k)))
-        wts = jnp.where(sel[:, :, 0], w_b, wts)
+    if _use_tree_filter(p.max_3d_wie):
+        hat, wts = _tree_filter_wiener(gz, gp, counts, sigma_w, p.max_3d_wie)
+    else:
+        sizes, haar_f, haar_i = _haar_bank(p.max_3d_wie)
+        g = gz.shape[0]
+        hat = jnp.zeros_like(gz)
+        wts = jnp.zeros((g, p.max_3d_wie), gz.dtype)
+        for s, hf, hi in zip(sizes, haar_f, haar_i):
+            cz = jnp.einsum("st,gtc->gsc", hf, gz[:, :s, :])
+            cp = jnp.einsum("st,gtc->gsc", hf, gp[:, :s, :])
+            wien = cp**2 / (cp**2 + sigma_w**2)
+            cz = cz * wien
+            w_g = 1.0 / (sigma_w**2 * jnp.maximum(jnp.sum(wien**2, axis=(1, 2)), 1e-10))
+            blocks_s = jnp.einsum("ts,gsc->gtc", hi, cz)
+            pad_k = p.max_3d_wie - s
+            blocks_s = jnp.pad(blocks_s, ((0, 0), (0, pad_k), (0, 0)))
+            sel = (counts == s)[:, None, None]
+            hat = jnp.where(sel, blocks_s, hat)
+            w_b = jnp.pad(jnp.broadcast_to(w_g[:, None], (g, s)), ((0, 0), (0, pad_k)))
+            wts = jnp.where(sel[:, :, 0], w_b, wts)
 
     hat_spatial = hat @ k2i.T
     window = tr.kaiser_window(bs, p.beta_wie)

@@ -259,3 +259,71 @@ class TestMatmulDistances:
         p1, p2, cc = np.asarray(pos1), np.asarray(pos2), np.asarray(c1)
         for g in range(p1.shape[0]):
             np.testing.assert_array_equal(p1[g, : cc[g]], p2[g, : cc[g]])
+
+
+class TestTreeStackFilter:
+    """Shared-prefix Haar-tree stack filtering == the per-size einsum loop
+    (accelerator fast path; the orthonormal Haar transform of the first
+    2^j stack rows is a prefix of the butterfly tree over all K rows)."""
+
+    @pytest.mark.parametrize("stage", ["ht", "wiener"])
+    def test_stage_output_matches_matrix_path(self, stage):
+        import jax.numpy as jnp
+
+        from pnp_admm_cnc_mri_tpu.priors.bm3d import core
+
+        rng = np.random.default_rng(7)
+        img = np.clip(rng.normal(0.5, 0.2, (96, 96)), 0, 1)
+        noisy = jnp.asarray(img + 0.08 * rng.standard_normal((96, 96)),
+                            jnp.float32)
+        try:
+            core._STACK_FILTER_TREE = False
+            ht = core.ht_stage(noisy, 0.08)
+            ref = np.asarray(ht if stage == "ht"
+                             else core.wiener_stage(noisy, ht, 0.08))
+            core._STACK_FILTER_TREE = True
+            got = np.asarray(core.ht_stage(noisy, 0.08) if stage == "ht"
+                             else core.wiener_stage(noisy, ht, 0.08))
+        finally:
+            core._STACK_FILTER_TREE = None
+        assert np.abs(got - ref).max() < 1e-5
+
+    def test_tree_filter_vs_matrix_unit(self):
+        """Unit-level: (hat, wts) agree on valid rows for every stack size
+        mix; rows >= count are don't-care in hat but zero in wts."""
+        import jax.numpy as jnp
+
+        from pnp_admm_cnc_mri_tpu.priors.bm3d import core
+
+        rng = np.random.default_rng(11)
+        g, k, c = 64, 16, 64
+        groups = jnp.asarray(rng.standard_normal((g, k, c)), jnp.float32)
+        counts = jnp.asarray(rng.choice([1, 2, 4, 8, 16], size=(g,)),
+                             jnp.int32)
+        sigma, thr = 0.08, 3.0 * 0.08
+
+        sizes, haar_f, haar_i = core._haar_bank(k)
+        hat_m = jnp.zeros_like(groups)
+        wts_m = jnp.zeros((g, k), groups.dtype)
+        for s, hf, hi in zip(sizes, haar_f, haar_i):
+            c3 = jnp.einsum("st,gtc->gsc", hf, groups[:, :s, :])
+            keep = jnp.abs(c3) > thr
+            c3 = jnp.where(keep, c3, 0.0)
+            nnz = jnp.sum(keep, axis=(1, 2)).astype(groups.dtype)
+            w_g = 1.0 / (sigma**2 * jnp.maximum(nnz, 1.0))
+            blocks_s = jnp.pad(jnp.einsum("ts,gsc->gtc", hi, c3),
+                               ((0, 0), (0, k - s), (0, 0)))
+            sel = (counts == s)[:, None, None]
+            hat_m = jnp.where(sel, blocks_s, hat_m)
+            w_b = jnp.pad(jnp.broadcast_to(w_g[:, None], (g, s)),
+                          ((0, 0), (0, k - s)))
+            wts_m = jnp.where(sel[:, :, 0], w_b, wts_m)
+
+        hat_t, wts_t = core._tree_filter_ht(groups, counts, thr, sigma, k)
+        np.testing.assert_allclose(np.asarray(wts_t), np.asarray(wts_m),
+                                   rtol=1e-5)
+        cc = np.asarray(counts)
+        ht_, hm_ = np.asarray(hat_t), np.asarray(hat_m)
+        for i in range(g):
+            np.testing.assert_allclose(ht_[i, : cc[i]], hm_[i, : cc[i]],
+                                       atol=2e-5)
