@@ -76,3 +76,22 @@ class TestConsensus:
             fused=False,
         )
         np.testing.assert_allclose(np.asarray(z), np.asarray(final.z), rtol=1e-5, atol=1e-6)
+
+
+class TestConsensusDCMethod:
+    def test_matmul_dc_matches_fft(self, rng):
+        """dc_method='matmul' (the accelerator auto-pick; packed Nyquist
+        path for even W) must match the FFT-kernel solve — consensus
+        batched masks ride the packed blend's leading-dim broadcast."""
+        img, masks, ys = _multi_mask_scenario(rng, n_obs=4)
+        cfg = ADMMConfig(iter_num=12, lam=0.1, rho=0.05)
+        z_f, x_f = consensus.run_consensus(
+            jnp.asarray(ys), jnp.asarray(masks, jnp.float64), cfg,
+            dtype=jnp.float64, dc_method="fft")
+        z_m, x_m = consensus.run_consensus(
+            jnp.asarray(ys), jnp.asarray(masks, jnp.float64), cfg,
+            dtype=jnp.float64, dc_method="matmul")
+        np.testing.assert_allclose(np.asarray(z_m), np.asarray(z_f),
+                                   atol=1e-10)
+        np.testing.assert_allclose(np.asarray(x_m), np.asarray(x_f),
+                                   atol=1e-10)
