@@ -41,13 +41,22 @@ V5E_HBM_BPS = 819e9
 def _roofline(ips: float) -> dict:
     """Speed-of-light model for the matmul-dc ADMM-L1 iteration at 256^2.
 
-    FLOPs (per image-iteration): the half-spectrum DFT-as-matmul solve is
-    6 (H,W)x(W,Wh) MACs forward + 6 inverse with Wh = W//2+1
-    (``ops/fourier.matmul_rfft2``/``matmul_irfft2``), i.e.
-    12*H*W*Wh MACs = 2.03e8 FLOPs at H=W=256; the pointwise tail
-    (mask blend, soft-threshold, dual update) adds <1%. Precision.HIGH
-    runs each MAC as 3 bf16 MXU passes (bf16_3x), so the f32-accurate
-    compute ceiling is peak_bf16/3.
+    FLOPs (per image-iteration) follow the ACTIVE DC formulation
+    (``ops/fourier._MATMUL_PACKED`` / ``_MATMUL_K3``):
+
+    - unpacked: 6 (H,W)x(W,Wh) MACs forward + 6 inverse, Wh = W//2+1
+      (``matmul_rfft2``/``matmul_irfft2``) = 12*H*W*Wh MACs. Note the
+      MXU additionally pads the 129-wide dim to 256 — real tile work is
+      ~2x this model.
+    - packed (Nyquist column in the sin-matrix DC slots): same einsum
+      count at Whp = W//2, every dim exactly 128-lane-aligned (model ==
+      tile work).
+    - packed_k3: + Karatsuba 3-matmul complex products on the H axis,
+      4*H*W*Whp (W axis) + 6*H*H*Whp (H axis) MACs.
+
+    The pointwise tail (mask blend, soft-threshold, dual update) adds
+    <1%. Precision.HIGH runs each MAC as 3 bf16 MXU passes (bf16_3x), so
+    the f32-accurate compute ceiling is peak_bf16/3.
 
     Bytes (per image-iteration, minimum HBM traffic): read scan state
     z, w + write x, z, w (5 f32 planes) + read the masked half-spectrum
@@ -55,9 +64,16 @@ def _roofline(ips: float) -> dict:
     spill add more, so the memory bound below is optimistic (a true
     speed-of-light).
     """
+    from pnp_admm_cnc_mri_tpu.ops import fourier
+
     h, w = SHAPE
     wh = w // 2 + 1
-    macs = 12 * h * w * wh
+    if fourier._MATMUL_PACKED and w % 2 == 0:
+        whp = w // 2
+        h_axis = 6 if fourier._MATMUL_K3 else 8
+        macs = 4 * h * w * whp + h_axis * h * h * whp
+    else:
+        macs = 12 * h * w * wh
     flops = 2 * macs
     bytes_min = (5 * h * w + 2 * 2 * h * wh) * 4
     compute_bound = (V5E_BF16_FLOPS / 3) / flops

@@ -110,6 +110,21 @@ def main(argv=None) -> int:
         ips, dt = timed(lambda: fn(y, m), args.iter_num, args.batch)
         record(name, ips, dt)
 
+    # Consensus ADMM (multi-mask fusion; dc_method=auto rides the packed
+    # MXU matmul DC path on accelerators as of round 2)
+    from pnp_admm_cnc_mri_tpu.parallel import consensus as cons
+
+    n_obs = 4
+    masks_c = jnp.stack([jnp.roll(m, 17 * i, axis=1) for i in range(n_obs)])
+    y_cons = y[:n_obs]  # treat as n_obs observations of one image
+    cfg_cons = ADMMConfig(iter_num=args.iter_num, lam=0.1, rho=0.05)
+    fn = jax.jit(
+        lambda ys, ms: cons.run_consensus(ys, ms, cfg_cons,
+                                          dtype=jnp.float32)[0].mean()
+    )
+    ips, dt = timed(lambda: fn(y_cons, masks_c), args.iter_num, n_obs)
+    record("consensus_l1_4obs", ips, dt, {"batch": n_obs})
+
     # PnP with a DnCNN prior (random weights; throughput measurement)
     den = dn.build_denoiser("dncnn_15")
     cfg_d = ADMMConfig(iter_num=args.iter_num, rho=0.15)

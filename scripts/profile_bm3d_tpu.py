@@ -23,6 +23,10 @@ def main(argv=None) -> int:
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--size", type=int, default=256)
     p.add_argument("--reps", type=int, default=5)
+    p.add_argument("--stack_filter", choices=["auto", "tree", "matrix"],
+                   default="auto",
+                   help="A/B the shared-prefix Haar-tree stack filter "
+                        "against the per-size einsum loop")
     args = p.parse_args(argv)
 
     import jax
@@ -34,6 +38,9 @@ def main(argv=None) -> int:
     import numpy as np
 
     from pnp_admm_cnc_mri_tpu.priors.bm3d import core
+
+    if args.stack_filter != "auto":
+        core._STACK_FILTER_TREE = args.stack_filter == "tree"
 
     h = w = args.size
     sigma = 0.1
