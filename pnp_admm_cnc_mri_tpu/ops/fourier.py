@@ -190,12 +190,15 @@ def _packed_dc_mats(h: int, w: int, dtype):
     return cwf, swf, ch, sh, ch - sh, ch + sh, cwi, swi
 
 
-# Probe toggles for the matmul DC solve (scripts/dc_formulation_probe.py);
-# both measured faster on v5e, so both default on. Packing requires even W
-# (odd W has no Nyquist bin and already has a 128-divisible half width no
-# more often than even W; the unpacked path serves it).
+# Probe toggles for the matmul DC solve (scripts/dc_formulation_probe.py).
+# Measured on the v5e (batch 512, 50-iter ADMM-L1, image-iters/s):
+# packing wins; Karatsuba LOSES (86.5k vs 92.8k packed) — the extra
+# elementwise combines (xr+xi operand sums, m3-m1-m2 recoveries) cost
+# more than the one saved 128-lane matmul, so K3 defaults off and the
+# H-axis complex products stay as 4 direct matmuls. Packing requires
+# even W (odd W has no Nyquist bin; the unpacked path serves it).
 _MATMUL_PACKED = True
-_MATMUL_K3 = True
+_MATMUL_K3 = False
 
 
 def resolve_dc_method(method: str, y) -> str:

@@ -85,8 +85,11 @@ def main() -> None:
     batch = 512
     if "--batch" in sys.argv:
         batch = int(sys.argv[sys.argv.index("--batch") + 1])
+    configs = list(CONFIGS)
+    if "--configs" in sys.argv:
+        configs = sys.argv[sys.argv.index("--configs") + 1].split(",")
     results = {}
-    for config in CONFIGS:
+    for config in configs:
         cmd = [sys.executable, __file__, "--single", config, str(batch)]
         if "--cpu" in sys.argv:
             cmd.append("--cpu")
