@@ -190,14 +190,18 @@ def _packed_dc_mats(h: int, w: int, dtype):
     return cwf, swf, ch, sh, ch - sh, ch + sh, cwi, swi
 
 
-# Probe toggles for the matmul DC solve (scripts/dc_formulation_probe.py).
-# Measured on the v5e (batch 512, 50-iter ADMM-L1, image-iters/s):
-# packing wins; Karatsuba LOSES (86.5k vs 92.8k packed) — the extra
-# elementwise combines (xr+xi operand sums, m3-m1-m2 recoveries) cost
-# more than the one saved 128-lane matmul, so K3 defaults off and the
-# H-axis complex products stay as 4 direct matmuls. Packing requires
-# even W (odd W has no Nyquist bin; the unpacked path serves it).
-_MATMUL_PACKED = True
+# Probe toggles for the matmul DC solve — BOTH measured and REJECTED on
+# the v5e (batch 512, 50-iter ADMM-L1; scripts/dc_formulation_probe.py +
+# scripts/dc_micro_probe.py, docs/PERF.md "Nyquist-packing probe"):
+# - packing: end-to-end 90.0-90.4k vs 95.8-96.4k unpacked image-iters/s.
+#   Transforms alone are only +2.3% (XLA's lowering already recovers
+#   nearly all of the 129->256 lane-pad waste); the per-iteration
+#   unpack/blend/repack glue costs ~12%. Ceiling +2% — not exploitable.
+# - Karatsuba H-axis: 86.5k vs 92.8k (packed baseline) — the extra
+#   elementwise combines cost more than the one saved matmul.
+# Both paths remain as tested capability (exactness proven to machine
+# eps in tests/test_ops.py); packing requires even W.
+_MATMUL_PACKED = False
 _MATMUL_K3 = False
 
 
