@@ -215,6 +215,91 @@ def run_pnp(
     return avg
 
 
+def run_fista_l1(
+    testset: str = "set1",
+    mask_name: str = "Q_Random30",
+    iter_num: int = 50,
+    lam: float = 1e-4,
+    step: float = 1.0,
+    testsets_dir: Optional[str] = None,
+    data_dir: Optional[str] = None,
+    results_dir: str = "results",
+    save_images: bool = True,
+    dtype=None,
+) -> Dict[str, float]:
+    """FISTA-L1 over a testset (``solvers/fista.py`` — the accelerated
+    proximal-gradient alternative to ADMM-L1; no reference counterpart)."""
+    import jax
+    import jax.numpy as jnp
+
+    from pnp_admm_cnc_mri_tpu.solvers import fista
+
+    testsets_dir = testsets_dir or images.DEFAULT_TESTSETS
+    batch = prepare_batch(os.path.join(testsets_dir, testset), mask_name, data_dir)
+    if dtype is None:
+        dtype = jnp.float64 if jax.config.read("jax_enable_x64") else jnp.float32
+    cdtype = jnp.complex128 if dtype == jnp.float64 else jnp.complex64
+    y = _device_complex(batch["y"], cdtype, dtype)
+    mask = jnp.asarray(np.asarray(batch["mask"]).astype(np.dtype(dtype)))
+
+    t0 = time.perf_counter()
+    final, _ = fista.fista_l1(y, mask, iter_num=iter_num, lam=lam, step=step,
+                              dtype=dtype)
+    x = np.asarray(jax.block_until_ready(final.x))
+    dt = time.perf_counter() - t0
+
+    avg = score_and_log(
+        x, batch["truth"], batch["names"],
+        f"{testset}_dn_FISTA_L1_{mask_name}", results_dir, save_images,
+    )
+    avg.update(wall_s=dt, images=len(batch["names"]), iters=iter_num)
+    return avg
+
+
+def run_pnp_fista(
+    denoise: Callable,
+    iter_num: int,
+    step: float = 1.0,
+    clamp: bool = True,
+    testset: str = "set1",
+    mask_name: str = "Q_Random30",
+    testsets_dir: Optional[str] = None,
+    data_dir: Optional[str] = None,
+    results_dir: str = "results",
+    save_images: bool = True,
+    result_tag: str = "pnp_fista",
+    dtype=None,
+) -> Dict[str, float]:
+    """PnP-FISTA (denoiser prox, ``solvers/fista.pnp_fista``) over a
+    testset. With the clean weights this is the framework's best
+    single-mask pipeline (drunet 31.50 dB set1 — TUNED_FISTA_D)."""
+    import jax
+    import jax.numpy as jnp
+
+    from pnp_admm_cnc_mri_tpu.solvers import fista
+
+    testsets_dir = testsets_dir or images.DEFAULT_TESTSETS
+    batch = prepare_batch(os.path.join(testsets_dir, testset), mask_name, data_dir)
+    if dtype is None:
+        dtype = jnp.float32
+    cdtype = jnp.complex128 if dtype == jnp.float64 else jnp.complex64
+    y = _device_complex(batch["y"], cdtype, dtype)
+    mask = jnp.asarray(np.asarray(batch["mask"]).astype(np.dtype(dtype)))
+
+    t0 = time.perf_counter()
+    final, _ = fista.pnp_fista(y, mask, iter_num, denoise, step=step,
+                               clamp=clamp, dtype=dtype)
+    x = np.asarray(jax.block_until_ready(final.x))
+    dt = time.perf_counter() - t0
+
+    avg = score_and_log(
+        x, batch["truth"], batch["names"],
+        f"{testset}_dn_{result_tag}_{mask_name}", results_dir, save_images,
+    )
+    avg.update(wall_s=dt, images=len(batch["names"]), iters=iter_num)
+    return avg
+
+
 def _restoration_prior(
     model_name, iter_num, eff_nlm, sigmas, weights, x8, model_sigma1, bf16,
     clean=False,

@@ -35,8 +35,14 @@ def build_parser() -> argparse.ArgumentParser:
             "consensus_d",
             "pnp_sr",
             "pnp_deblur",
+            "fista_l1",
+            "pnp_fista_d",
         ],
     )
+    p.add_argument("--step", type=float, default=1.0,
+                   help="fista_l1/pnp_fista_d: gradient step size (the "
+                        "data-term Lipschitz constant is exactly 1, so "
+                        "1.0 is canonical)")
     p.add_argument("--sf", type=int, default=2,
                    help="pnp_sr only: super-resolution factor")
     p.add_argument("--kernel", default="aniso",
@@ -244,6 +250,35 @@ def main(argv=None) -> int:
                           else tuned.get("model_sigma1")),
             bf16=args.bf16,
             clean=args.clean,
+        )
+    elif args.algo == "fista_l1":
+        out = experiments.run_fista_l1(
+            iter_num=args.iter_num or 50,
+            lam=args.lam if args.lam is not None else 1e-4,
+            step=args.step, dtype=dtype, **common,
+        )
+    elif args.algo == "pnp_fista_d":
+        from pnp_admm_cnc_mri_tpu.priors import denoiser as denoiser_mod
+
+        tuned = cfg_mod.TUNED_FISTA_D.get(args.model, {}) if args.tuned else {}
+        it = args.iter_num or tuned.get("iter_num", 30)
+        x8 = args.x8 or (not args.no_x8 and tuned.get("x8", False))
+        nlm = args.nlm if args.nlm is not None else tuned.get("nlm")
+        ms1 = (args.model_sigma1 if args.model_sigma1 is not None
+               else tuned.get("model_sigma1"))
+        extra = {"model_sigma1": ms1} if ms1 is not None else {}
+        denoise = denoiser_mod.build_denoiser(
+            args.model,
+            weights=denoiser_mod.resolve_weights(args.model, args.weights,
+                                                 clean=args.clean),
+            iter_num=it, x8=x8,
+            compute_dtype=jnp.bfloat16 if args.bf16 else None,
+            noise_level_model=denoiser_mod.nlm_for_model(args.model, nlm),
+            **extra,
+        )
+        out = experiments.run_pnp_fista(
+            denoise, it, step=args.step, dtype=dtype,
+            result_tag=f"pnp_fista_{args.model}", **common,
         )
     elif args.algo in ("admm_l1", "admm_cnc"):
         base = cfg_mod.ADMM_L1_DEFAULT if args.algo == "admm_l1" else cfg_mod.ADMM_CNC_DEFAULT

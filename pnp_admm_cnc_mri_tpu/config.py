@@ -113,6 +113,20 @@ TUNED_CONSENSUS_D = {
     "dncnn_25": dict(iter_num=4, rho=3.0),         # set1 30.65
 }
 
+# PnP-FISTA (solvers/fista.py — accelerated proximal gradient with a
+# denoiser prox, step=1 canonical since the data-term Lipschitz constant
+# is exactly 1): swept on set1/Q_Random30 with the CLEAN weights. FISTA
+# extrapolation reaches better fixed points than PnP-ADMM here — drunet
+# 31.50 vs 31.02, ffdnet 31.22 vs 30.76 — the framework's best
+# single-mask clean numbers.
+TUNED_FISTA_D = {
+    "drunet_gray": dict(iter_num=30, nlm=12.0, model_sigma1=15.0, x8=True),  # 31.50 (31.40 no-x8)
+    "ffdnet_gray": dict(iter_num=30, nlm=11.0),   # 31.22
+    "fdncnn_gray": dict(iter_num=30, nlm=10.0),   # 31.15
+    "ircnn_gray": dict(iter_num=30, nlm=12.0),    # 31.00
+    "dncnn_25": dict(iter_num=30),                # 29.14
+}
+
 # Leakage-free (clean-corpus) tuned settings: swept for the
 # model_zoo/<name>_clean.npz weights (train/corpus.py; round-2). Selected
 # by the CLI's --clean --tuned combination; entries absent here fall back

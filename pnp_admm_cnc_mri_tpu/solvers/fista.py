@@ -1,0 +1,160 @@
+"""Accelerated proximal-gradient (ISTA / FISTA) solvers — one jitted scan.
+
+New capability beyond the reference's ADMM-only surface (the reference
+ships six ADMM fixed-point drivers and an unused gradient helper,
+``utils/utils.py:50-55`` ``Df``): forward-backward splitting on the same
+masked-FFT forward model,
+
+    x_{k+1} = prox_{s g}( v_k - s * grad f(v_k) ),
+    v_{k+1} = x_{k+1} + ((t_k - 1)/t_{k+1}) (x_{k+1} - x_k)   [FISTA]
+
+with f(x) = ||M F x - y||^2 / (2 N) whose gradient is exactly the
+reference's ``Df`` helper (``fourier.data_term_gradient``) and whose
+Lipschitz constant is 1 (M F F^H M / N is an orthogonal projection), so
+``step = 1.0`` is the canonical choice.
+
+Why it belongs in this framework: the PnP literature the survey
+retrieved analyzes exactly this iteration — Ryu et al. 2019 ("PnP
+Methods Provably Converge with Properly Trained Denoisers",
+PAPERS.md) prove convergence for PnP-FBS (this solver with a denoiser
+prox) under denoiser-Lipschitz conditions, and Kamilov et al.'s
+scalable-PnP line motivates gradient-form PnP where the data term has
+no cheap proximal solve. Here the DC solve IS cheap, so ADMM stays the
+quality workhorse — FISTA is the convergence-friendly alternative and
+the natural host for gradient-only forward models.
+
+Same conventions as ``solvers/admm.py``: trailing (H, W) axes, arbitrary
+leading batch axes, one ``lax.scan``, prox pluggable as
+``prox_fn(iteration_index, u) -> u_new`` (index first, like ``ZUpdate``,
+so sigma-ladder denoiser priors drop in unchanged).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from pnp_admm_cnc_mri_tpu.ops import fourier, prox
+
+
+class FISTAState(NamedTuple):
+    """Iterate x, extrapolated point v, momentum scalar t."""
+
+    x: jnp.ndarray
+    v: jnp.ndarray
+    t: jnp.ndarray
+
+
+# prox_fn(iteration_index, u) -> new u
+ProxFn = Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray]
+
+
+def data_objective(x: jnp.ndarray, y: jnp.ndarray, mask: jnp.ndarray):
+    """f(x) = ||M F x - y||^2 / (2 N), reduced over the trailing two axes.
+
+    The normalization matches ``fourier.data_term_gradient`` (which is
+    (1/N) F^H M (M F x - y) for the unnormalized FFT pair): this f has
+    unit Lipschitz gradient on the sampled subspace.
+    """
+    res = fourier.fft2(x) * mask
+    res = jnp.where(mask != 0, res - y, res)
+    n = x.shape[-2] * x.shape[-1]
+    return jnp.sum(jnp.abs(res) ** 2, axis=(-2, -1)) / (2.0 * n)
+
+
+def run_fista(
+    y: jnp.ndarray,
+    mask: jnp.ndarray,
+    iter_num: int,
+    prox_fn: ProxFn,
+    step: float = 1.0,
+    momentum: bool = True,
+    dtype=jnp.float32,
+    collect_objective: bool = False,
+    penalty_fn: Optional[Callable[[jnp.ndarray], jnp.ndarray]] = None,
+):
+    """Run ``iter_num`` FISTA (or ISTA with ``momentum=False``) iterations.
+
+    Zero-filled magnitude init like the ADMM drivers (reference
+    ``【1】ADMM_L1.py:100-105``). Returns ``(final_state, objectives)``
+    where objectives (if requested) is the per-iteration data-term value
+    at x plus ``penalty_fn(x)`` when given — for ISTA with ``step <= 1``
+    the full objective (data + prox penalty) is monotone non-increasing,
+    which the tests pin.
+    """
+    x0 = jnp.abs(fourier.zero_fill(y)).astype(dtype)
+    state = FISTAState(x=x0, v=x0, t=jnp.asarray(1.0, dtype))
+
+    def iteration(state: FISTAState, i):
+        g = jnp.real(fourier.data_term_gradient(state.v, y, mask)).astype(dtype)
+        x_new = prox_fn(i, state.v - step * g).astype(dtype)
+        if momentum:
+            t_new = (1.0 + jnp.sqrt(1.0 + 4.0 * state.t**2)) / 2.0
+            v_new = x_new + ((state.t - 1.0) / t_new) * (x_new - state.x)
+        else:
+            t_new = state.t
+            v_new = x_new
+        out = None
+        if collect_objective:
+            out = data_objective(x_new, y, mask)
+            if penalty_fn is not None:
+                out = out + penalty_fn(x_new)
+        return FISTAState(x=x_new, v=v_new, t=t_new), out
+
+    state, objs = jax.lax.scan(iteration, state, jnp.arange(iter_num))
+    return state, objs
+
+
+def fista_l1(
+    y: jnp.ndarray,
+    mask: jnp.ndarray,
+    iter_num: int = 50,
+    lam: float = 8e-4,
+    step: float = 1.0,
+    momentum: bool = True,
+    dtype=jnp.float32,
+    collect_objective: bool = False,
+):
+    """FISTA for ``min lam * ||x||_1 + ||M F x - y||^2 / (2 N)``.
+
+    The prox is one soft-threshold at ``step * lam`` per iteration. The
+    same convex objective underlies ADMM-L1 (its z-prox threshold
+    ``rho * lam_admm`` corresponds to ``lam = lam_admm / 2`` here up to
+    the reference's magnitude-projection quirk), so tuned FISTA matches
+    ADMM-L1's reconstruction quality on the golden scenario — see
+    ``tests/test_fista.py``.
+    """
+    return run_fista(
+        y, mask, iter_num,
+        lambda i, u: prox.soft(u, step * lam),
+        step=step, momentum=momentum, dtype=dtype,
+        collect_objective=collect_objective,
+        penalty_fn=lambda x: lam * jnp.sum(jnp.abs(x), axis=(-2, -1)),
+    )
+
+
+def pnp_fista(
+    y: jnp.ndarray,
+    mask: jnp.ndarray,
+    iter_num: int,
+    denoise: Callable,
+    step: float = 1.0,
+    clamp: bool = True,
+    dtype=jnp.float32,
+):
+    """PnP-FBS / PnP-FISTA: a denoiser as the proximal operator.
+
+    ``denoise(u, i)`` takes the image and the iteration index (the
+    ``priors.denoiser`` builders' calling convention, so sigma-ladder
+    models drop in unchanged). Ryu et al. 2019 analyze this iteration's
+    convergence; ``clamp`` keeps iterates in [0,1] like the reference's
+    CNN-variant ADMM loops (``【3】PNP_ADMM_L1_D  .py:294-296``).
+    """
+
+    def prox_fn(i, u):
+        z = denoise(u, i)
+        return prox.clip01(z) if clamp else z
+
+    return run_fista(y, mask, iter_num, prox_fn, step=step, dtype=dtype)
