@@ -135,6 +135,16 @@ def main(argv=None) -> int:
     ips, dt = timed(lambda: fn(small, m), args.iter_num, small.shape[0])
     record("pnp_dncnn17", ips, dt, {"batch": int(small.shape[0])})
 
+    # PnP-FISTA (gradient-form solver; same DnCNN prior for comparability)
+    from pnp_admm_cnc_mri_tpu.solvers import fista as fista_mod
+
+    fn = jax.jit(
+        lambda y, m: fista_mod.pnp_fista(
+            y, m, args.iter_num, den, dtype=jnp.float32)[0].x.mean()
+    )
+    ips, dt = timed(lambda: fn(small, m), args.iter_num, small.shape[0])
+    record("pnp_fista_dncnn17", ips, dt, {"batch": int(small.shape[0])})
+
     if not args.skip_bm3d:
         den_b = bm3d_prior.make_bm3d_denoiser()
         cfg_b = ADMMConfig(iter_num=5, rho=0.8)

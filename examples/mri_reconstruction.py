@@ -36,7 +36,7 @@ def main(argv=None):
     from pnp_admm_cnc_mri_tpu.data import images, masks, noise
     from pnp_admm_cnc_mri_tpu.ops import fourier, metrics
     from pnp_admm_cnc_mri_tpu.priors import denoiser
-    from pnp_admm_cnc_mri_tpu.solvers import admm
+    from pnp_admm_cnc_mri_tpu.solvers import admm, fista
 
     path = args.image or "/root/reference/testsets/set1/05.png"
     if os.path.exists(path):
@@ -70,6 +70,9 @@ def main(argv=None):
                                               rho=0.05, alpha=0.45, b=64.0))
     report("ADMM-CNC", st.x)
 
+    st, _ = fista.fista_l1(y, mask, iter_num=args.iters, lam=1e-4)
+    report("FISTA-L1", st.x)
+
     weights = denoiser.resolve_weights(args.model)
     if weights:
         dn = denoiser.build_denoiser(args.model, weights=weights,
@@ -79,6 +82,10 @@ def main(argv=None):
                                  ADMMConfig(iter_num=args.iters, rho=0.7),
                                  denoise=dn)
         report(f"PnP-{args.model}", st.x)
+        # the gradient-form PnP family (best clean-weights quality;
+        # solvers/fista.pnp_fista, TUNED_FISTA_D)
+        st, _ = fista.pnp_fista(y, mask, args.iters, dn)
+        report(f"FISTA-{args.model}", st.x)
     else:
         print(f"(no weights for {args.model}; skipping the PnP stage)")
 
