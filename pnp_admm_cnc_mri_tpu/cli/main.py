@@ -264,18 +264,27 @@ def main(argv=None) -> int:
         it = args.iter_num or tuned.get("iter_num", 30)
         x8 = args.x8 or (not args.no_x8 and tuned.get("x8", False))
         nlm = args.nlm if args.nlm is not None else tuned.get("nlm")
-        ms1 = (args.model_sigma1 if args.model_sigma1 is not None
-               else tuned.get("model_sigma1"))
-        extra = {"model_sigma1": ms1} if ms1 is not None else {}
-        denoise = denoiser_mod.build_denoiser(
-            args.model,
-            weights=denoiser_mod.resolve_weights(args.model, args.weights,
-                                                 clean=args.clean),
-            iter_num=it, x8=x8,
-            compute_dtype=jnp.bfloat16 if args.bf16 else None,
-            noise_level_model=denoiser_mod.nlm_for_model(args.model, nlm),
-            **extra,
-        )
+        if args.model == "bm3d":
+            # weight-free BM3D prox (leakage-immune); --nlm is the BM3D
+            # sigma on the [0,255] scale, like the pnp_*_bm3d pipelines
+            from pnp_admm_cnc_mri_tpu.priors import bm3d_prior
+
+            denoise = bm3d_prior.make_bm3d_denoiser(
+                noise_var=((nlm if nlm is not None else 15.0) / 255.0) ** 2
+            )
+        else:
+            ms1 = (args.model_sigma1 if args.model_sigma1 is not None
+                   else tuned.get("model_sigma1"))
+            extra = {"model_sigma1": ms1} if ms1 is not None else {}
+            denoise = denoiser_mod.build_denoiser(
+                args.model,
+                weights=denoiser_mod.resolve_weights(args.model, args.weights,
+                                                     clean=args.clean),
+                iter_num=it, x8=x8,
+                compute_dtype=jnp.bfloat16 if args.bf16 else None,
+                noise_level_model=denoiser_mod.nlm_for_model(args.model, nlm),
+                **extra,
+            )
         out = experiments.run_pnp_fista(
             denoise, it, step=args.step, dtype=dtype,
             result_tag=f"pnp_fista_{args.model}", **common,

@@ -125,6 +125,8 @@ TUNED_FISTA_D = {
     "fdncnn_gray": dict(iter_num=30, nlm=10.0),   # 31.15
     "ircnn_gray": dict(iter_num=30, nlm=12.0),    # 31.00
     "dncnn_25": dict(iter_num=30),                # 29.14
+    "bm3d": dict(iter_num=10, nlm=15.0),          # 31.22 (weight-free;
+    # +0.67 over the tuned ADMM BM3D pipelines, converged by 10 iters)
 }
 
 # Leakage-free (clean-corpus) tuned settings: swept for the
