@@ -33,6 +33,7 @@ def build_parser() -> argparse.ArgumentParser:
             "pnp_cnc_d",
             "consensus_l1",
             "consensus_d",
+            "consensus_fista_d",
             "pnp_sr",
             "pnp_deblur",
             "fista_l1",
@@ -148,7 +149,7 @@ def main(argv=None) -> int:
     )
     dtype = jnp.float64 if args.f64 else jnp.float32
 
-    if args.algo in ("consensus_l1", "consensus_d"):
+    if args.algo in ("consensus_l1", "consensus_d", "consensus_fista_d"):
         # Multi-mask joint reconstruction: one shared z across all three
         # reference masks (new capability; no reference counterpart).
         # consensus_d plugs a model-zoo denoiser into the consensus z-prox.
@@ -168,7 +169,34 @@ def main(argv=None) -> int:
         kn = noise_mod.load_noise(args.data_dir)
         z_prox = None
         algo_tag = args.algo
-        if args.algo == "consensus_d":
+        fista_iters = None
+        if args.algo == "consensus_fista_d":
+            # union-preconditioned multi-mask FISTA with a denoiser prox
+            # (parallel/consensus.run_consensus_fista) — the framework's
+            # best clean multi-mask numbers (TUNED_CONSENSUS_FISTA)
+            from pnp_admm_cnc_mri_tpu.priors import denoiser as denoiser_mod
+
+            tuned = (cfg_mod.TUNED_CONSENSUS_FISTA.get(args.model, {})
+                     if args.tuned else {})
+            fista_iters = args.iter_num or tuned.get("iter_num", 30)
+            x8 = args.x8 or (not args.no_x8 and tuned.get("x8", False))
+            nlm = args.nlm if args.nlm is not None else tuned.get("nlm")
+            ms1 = (args.model_sigma1 if args.model_sigma1 is not None
+                   else tuned.get("model_sigma1"))
+            extra_d = {"model_sigma1": ms1} if ms1 is not None else {}
+            denoise = denoiser_mod.build_denoiser(
+                args.model,
+                weights=denoiser_mod.resolve_weights(args.model, args.weights,
+                                                     clean=args.clean),
+                iter_num=fista_iters, x8=x8,
+                compute_dtype=jnp.bfloat16 if args.bf16 else None,
+                noise_level_model=denoiser_mod.nlm_for_model(args.model, nlm),
+                **extra_d,
+            )
+            z_prox = lambda v, i: jnp.clip(denoise(v, i), 0.0, 1.0)
+            algo_tag = f"consensus_fista_{args.model}"
+            base = cfg_mod.ADMM_L1_DEFAULT  # unused by the FISTA path
+        elif args.algo == "consensus_d":
             from pnp_admm_cnc_mri_tpu.priors import denoiser as denoiser_mod
 
             it, rho = cfg_mod.PNP_L1_DEFAULTS.get(args.model, (50, 0.25))
@@ -207,10 +235,19 @@ def main(argv=None) -> int:
 
         for img in imgs01:
             ys = np.fft.fft2(img[None], axes=(-2, -1)) * all_masks + kn
-            z, _ = consensus.run_consensus(
-                _device_complex(ys, cdt, dtp), jnp.asarray(all_masks, dtp),
-                cfg, z_prox=z_prox, dtype=dtp
-            )
+            if args.algo == "consensus_fista_d":
+                z = consensus.run_consensus_fista(
+                    _device_complex(ys, cdt, dtp),
+                    jnp.asarray(all_masks, dtp), fista_iters,
+                    # consensus z_prox is (v, i); fista prox_fn is (i, u)
+                    lambda i, u: z_prox(u, i),
+                    step=args.step, dtype=dtp,
+                )
+            else:
+                z, _ = consensus.run_consensus(
+                    _device_complex(ys, cdt, dtp), jnp.asarray(all_masks, dtp),
+                    cfg, z_prox=z_prox, dtype=dtp
+                )
             zs.append(np.asarray(z))
         out = score_and_log(
             np.stack(zs), truth, names,
@@ -219,7 +256,7 @@ def main(argv=None) -> int:
         )
         out["wall_s"] = _time.perf_counter() - t0
         out["images"] = len(names)
-        out["iters"] = cfg.iter_num
+        out["iters"] = fista_iters or cfg.iter_num
     elif args.algo in ("pnp_sr", "pnp_deblur"):
         runner = experiments.run_sr if args.algo == "pnp_sr" else experiments.run_deblur
         extra = (

@@ -129,6 +129,18 @@ TUNED_FISTA_D = {
     # +0.67 over the tuned ADMM BM3D pipelines, converged by 10 iters)
 }
 
+# Multi-mask consensus FISTA (parallel/consensus.run_consensus_fista —
+# union-preconditioned fused gradient, one psum/iter): swept on set1
+# across all three reference masks jointly, CLEAN weights. Beats
+# consensus-ADMM clean by 1-1.9 dB per family.
+TUNED_CONSENSUS_FISTA = {
+    "drunet_gray": dict(iter_num=30, nlm=12.0, model_sigma1=15.0, x8=True),  # 32.28
+    "ircnn_gray": dict(iter_num=30, nlm=12.0),    # 32.15
+    "fdncnn_gray": dict(iter_num=30, nlm=12.0),   # 32.11
+    "ffdnet_gray": dict(iter_num=30, nlm=11.0),   # 31.71
+    "dncnn_25": dict(iter_num=30),                # 30.07
+}
+
 # Leakage-free (clean-corpus) tuned settings: swept for the
 # model_zoo/<name>_clean.npz weights (train/corpus.py; round-2). Selected
 # by the CLI's --clean --tuned combination; entries absent here fall back

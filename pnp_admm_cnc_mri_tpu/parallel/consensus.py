@@ -110,3 +110,108 @@ def run_consensus_sharded(
     ys_d = jax.device_put(ys, NamedSharding(mesh, P(axis)))
     masks_d = jax.device_put(masks, NamedSharding(mesh, P(axis)))
     return f(ys_d, masks_d)
+
+
+def run_consensus_fista(
+    ys: jnp.ndarray,
+    masks: jnp.ndarray,
+    iter_num: int,
+    prox_fn,
+    step: float = 1.0,
+    dtype=jnp.float32,
+    precondition: bool = True,
+):
+    """Multi-observation FISTA: ONE iterate, a fused gradient over all
+    observations.
+
+    The gradient form makes multi-mask fusion trivial — no per-obs dual
+    states. With ``precondition=True`` (default) the summed k-space
+    residual is divided per-frequency by the sampling count
+    ``c(k) = sum_i m_i(k)``, which turns the normal operator into an
+    ORTHOGONAL PROJECTION onto the mask UNION (Lipschitz exactly 1, full
+    step on every covered frequency; at step=1 the gradient step becomes
+    "replace every union frequency with the mask-averaged observation").
+    The unpreconditioned mean gradient (precondition=False) under-steps
+    frequencies covered by few masks and measured ~0.1-0.3 dB worse —
+    and any step > 1 DIVERGES because the masks share the k-space
+    center, where the mean operator's norm is 1.
+
+    ``prox_fn(i, u) -> u`` as in ``solvers.fista.run_fista``.
+    ys/masks: (N, H, W) observations of one image.
+    """
+    from pnp_admm_cnc_mri_tpu.solvers import fista as fista_mod
+
+    m = (masks != 0).astype(ys.real.dtype)
+    if precondition:
+        cnt = jnp.maximum(jnp.sum(m, axis=0), 1.0)
+    else:
+        cnt = jnp.asarray(float(masks.shape[0]), ys.real.dtype)
+    ysz = jnp.where(m != 0, ys, 0.0)
+
+    x0 = jnp.mean(jnp.abs(fourier.zero_fill(ysz)), axis=0).astype(dtype)
+    state = fista_mod.FISTAState(x=x0, v=x0, t=jnp.asarray(1.0, dtype))
+
+    def iteration(state, i):
+        vf = fourier.fft2(state.v)
+        res = jnp.sum(m * vf[None] - ysz * m, axis=0) / cnt
+        g = jnp.real(fourier.ifft2(res)).astype(dtype)
+        x_new = prox_fn(i, state.v - step * g).astype(dtype)
+        t_new = (1.0 + jnp.sqrt(1.0 + 4.0 * state.t**2)) / 2.0
+        v_new = x_new + ((state.t - 1.0) / t_new) * (x_new - state.x)
+        return fista_mod.FISTAState(x=x_new, v=v_new, t=t_new), None
+
+    state, _ = jax.lax.scan(iteration, state, jnp.arange(iter_num))
+    return state.x
+
+
+def run_consensus_fista_sharded(
+    ys: jnp.ndarray,
+    masks: jnp.ndarray,
+    iter_num: int,
+    prox_fn,
+    mesh: Mesh,
+    axis: str = "data",
+    step: float = 1.0,
+    dtype=jnp.float32,
+    precondition: bool = True,
+):
+    """shard_map version of ``run_consensus_fista``: each device owns a
+    slice of the observations; the fused k-space residual is one
+    ``lax.psum`` over ICI per iteration (same collective budget as
+    consensus ADMM). The per-frequency sampling count is psum'd once at
+    setup."""
+    from pnp_admm_cnc_mri_tpu.solvers import fista as fista_mod
+
+    n_total = float(masks.shape[0])
+
+    def local_solve(ys_l, masks_l):
+        m_l = (masks_l != 0).astype(ys_l.real.dtype)
+        if precondition:
+            cnt = jnp.maximum(jax.lax.psum(jnp.sum(m_l, axis=0), axis), 1.0)
+        else:
+            cnt = jnp.asarray(n_total, ys_l.real.dtype)
+        ysz = jnp.where(m_l != 0, ys_l, 0.0)
+        x0 = jax.lax.pmean(
+            jnp.mean(jnp.abs(fourier.zero_fill(ysz)), axis=0), axis
+        ).astype(dtype)
+        state = fista_mod.FISTAState(x=x0, v=x0, t=jnp.asarray(1.0, dtype))
+
+        def iteration(state, i):
+            vf = fourier.fft2(state.v)
+            res_l = jnp.sum(m_l * vf[None] - ysz * m_l, axis=0)
+            res = jax.lax.psum(res_l, axis) / cnt
+            g = jnp.real(fourier.ifft2(res)).astype(dtype)
+            x_new = prox_fn(i, state.v - step * g).astype(dtype)
+            t_new = (1.0 + jnp.sqrt(1.0 + 4.0 * state.t**2)) / 2.0
+            v_new = x_new + ((state.t - 1.0) / t_new) * (x_new - state.x)
+            return fista_mod.FISTAState(x=x_new, v=v_new, t=t_new), None
+
+        state, _ = jax.lax.scan(iteration, state, jnp.arange(iter_num))
+        return state.x
+
+    f = jax.shard_map(
+        local_solve, mesh=mesh, in_specs=(P(axis), P(axis)), out_specs=P()
+    )
+    ys_d = jax.device_put(ys, NamedSharding(mesh, P(axis)))
+    masks_d = jax.device_put(masks, NamedSharding(mesh, P(axis)))
+    return f(ys_d, masks_d)
