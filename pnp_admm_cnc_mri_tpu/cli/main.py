@@ -181,19 +181,28 @@ def main(argv=None) -> int:
             fista_iters = args.iter_num or tuned.get("iter_num", 30)
             x8 = args.x8 or (not args.no_x8 and tuned.get("x8", False))
             nlm = args.nlm if args.nlm is not None else tuned.get("nlm")
-            ms1 = (args.model_sigma1 if args.model_sigma1 is not None
-                   else tuned.get("model_sigma1"))
-            extra_d = {"model_sigma1": ms1} if ms1 is not None else {}
-            denoise = denoiser_mod.build_denoiser(
-                args.model,
-                weights=denoiser_mod.resolve_weights(args.model, args.weights,
-                                                     clean=args.clean),
-                iter_num=fista_iters, x8=x8,
-                compute_dtype=jnp.bfloat16 if args.bf16 else None,
-                noise_level_model=denoiser_mod.nlm_for_model(args.model, nlm),
-                **extra_d,
-            )
-            z_prox = lambda v, i: jnp.clip(denoise(v, i), 0.0, 1.0)
+            if args.model == "bm3d":
+                from pnp_admm_cnc_mri_tpu.priors import bm3d_prior
+
+                denoise = bm3d_prior.make_bm3d_denoiser(
+                    noise_var=((nlm if nlm is not None else 15.0) / 255.0) ** 2
+                )
+                z_prox = lambda v, i: denoise(v, i)
+            else:
+                ms1 = (args.model_sigma1 if args.model_sigma1 is not None
+                       else tuned.get("model_sigma1"))
+                extra_d = {"model_sigma1": ms1} if ms1 is not None else {}
+                denoise = denoiser_mod.build_denoiser(
+                    args.model,
+                    weights=denoiser_mod.resolve_weights(
+                        args.model, args.weights, clean=args.clean),
+                    iter_num=fista_iters, x8=x8,
+                    compute_dtype=jnp.bfloat16 if args.bf16 else None,
+                    noise_level_model=denoiser_mod.nlm_for_model(args.model,
+                                                                 nlm),
+                    **extra_d,
+                )
+                z_prox = lambda v, i: jnp.clip(denoise(v, i), 0.0, 1.0)
             algo_tag = f"consensus_fista_{args.model}"
             base = cfg_mod.ADMM_L1_DEFAULT  # unused by the FISTA path
         elif args.algo == "consensus_d":
