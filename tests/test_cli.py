@@ -167,6 +167,11 @@ class TestCleanWeights:
             for name in ("drunet_gray", "ffdnet_gray", "fdncnn_gray",
                          "ircnn_gray", "dncnn_25"):
                 assert name in reg, (name, reg)
+        # FISTA registries: all five families + the weight-free bm3d prox
+        for reg in (cfg.TUNED_FISTA_D, cfg.TUNED_CONSENSUS_FISTA):
+            for name in ("drunet_gray", "ffdnet_gray", "fdncnn_gray",
+                         "ircnn_gray", "dncnn_25", "bm3d"):
+                assert name in reg, (name, reg)
 
     def test_clean_cli_end_to_end(self):
         """--clean --tuned dncnn_25 reproduces the swept clean number."""
