@@ -145,6 +145,17 @@ def main(argv=None) -> int:
     ips, dt = timed(lambda: fn(small, m), args.iter_num, small.shape[0])
     record("pnp_fista_dncnn17", ips, dt, {"batch": int(small.shape[0])})
 
+    # consensus-FISTA (union-preconditioned fused gradient, L1 prox)
+    from pnp_admm_cnc_mri_tpu.ops import prox as prox_mod
+
+    fn = jax.jit(
+        lambda ys, ms: cons.run_consensus_fista(
+            ys, ms, args.iter_num,
+            lambda i, u: prox_mod.soft(u, 5e-3)).mean()
+    )
+    ips, dt = timed(lambda: fn(y_cons, masks_c), args.iter_num, n_obs)
+    record("consensus_fista_l1_4obs", ips, dt, {"batch": n_obs})
+
     if not args.skip_bm3d:
         den_b = bm3d_prior.make_bm3d_denoiser()
         cfg_b = ADMMConfig(iter_num=5, rho=0.8)
