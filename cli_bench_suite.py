@@ -114,7 +114,7 @@ def main(argv=None) -> int:
     # MXU matmul DC path on accelerators as of round 2)
     from pnp_admm_cnc_mri_tpu.parallel import consensus as cons
 
-    n_obs = 4
+    n_obs = min(4, int(y.shape[0]))
     masks_c = jnp.stack([jnp.roll(m, 17 * i, axis=1) for i in range(n_obs)])
     y_cons = y[:n_obs]  # treat as n_obs observations of one image
     cfg_cons = ADMMConfig(iter_num=args.iter_num, lam=0.1, rho=0.05)

@@ -41,9 +41,9 @@ def build_parser() -> argparse.ArgumentParser:
         ],
     )
     p.add_argument("--step", type=float, default=1.0,
-                   help="fista_l1/pnp_fista_d: gradient step size (the "
-                        "data-term Lipschitz constant is exactly 1, so "
-                        "1.0 is canonical)")
+                   help="fista_l1/pnp_fista_d/consensus_fista_d: gradient "
+                        "step size (the data-term Lipschitz constant is "
+                        "exactly 1, so 1.0 is canonical)")
     p.add_argument("--sf", type=int, default=2,
                    help="pnp_sr only: super-resolution factor")
     p.add_argument("--kernel", default="aniso",
@@ -187,7 +187,10 @@ def main(argv=None) -> int:
                 denoise = bm3d_prior.make_bm3d_denoiser(
                     noise_var=((nlm if nlm is not None else 15.0) / 255.0) ** 2
                 )
-                z_prox = lambda v, i: denoise(v, i)
+                # clip like the single-mask pnp_fista_d bm3d path
+                # (run_pnp_fista clamp=True) — measured slightly better
+                # than the unclamped sweep (32.139 vs 32.122 set1)
+                z_prox = lambda v, i: jnp.clip(denoise(v, i), 0.0, 1.0)
             else:
                 ms1 = (args.model_sigma1 if args.model_sigma1 is not None
                        else tuned.get("model_sigma1"))

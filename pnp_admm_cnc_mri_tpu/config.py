@@ -139,7 +139,7 @@ TUNED_CONSENSUS_FISTA = {
     "fdncnn_gray": dict(iter_num=30, nlm=12.0),   # 32.11
     "ffdnet_gray": dict(iter_num=30, nlm=11.0),   # 31.71
     "dncnn_25": dict(iter_num=30),                # 30.07
-    "bm3d": dict(iter_num=10, nlm=15.0),          # 32.12 (weight-free)
+    "bm3d": dict(iter_num=10, nlm=15.0),          # 32.14 (weight-free)
 }
 
 # Leakage-free (clean-corpus) tuned settings: swept for the

@@ -156,8 +156,7 @@ def run_consensus_fista(
         res = jnp.sum(m * vf[None] - ysz * m, axis=0) / cnt
         g = jnp.real(fourier.ifft2(res)).astype(dtype)
         x_new = prox_fn(i, state.v - step * g).astype(dtype)
-        t_new = (1.0 + jnp.sqrt(1.0 + 4.0 * state.t**2)) / 2.0
-        v_new = x_new + ((state.t - 1.0) / t_new) * (x_new - state.x)
+        t_new, v_new = fista_mod.fista_extrapolate(state.x, x_new, state.t)
         return fista_mod.FISTAState(x=x_new, v=v_new, t=t_new), None
 
     state, _ = jax.lax.scan(iteration, state, jnp.arange(iter_num))
@@ -202,8 +201,7 @@ def run_consensus_fista_sharded(
             res = jax.lax.psum(res_l, axis) / cnt
             g = jnp.real(fourier.ifft2(res)).astype(dtype)
             x_new = prox_fn(i, state.v - step * g).astype(dtype)
-            t_new = (1.0 + jnp.sqrt(1.0 + 4.0 * state.t**2)) / 2.0
-            v_new = x_new + ((state.t - 1.0) / t_new) * (x_new - state.x)
+            t_new, v_new = fista_mod.fista_extrapolate(state.x, x_new, state.t)
             return fista_mod.FISTAState(x=x_new, v=v_new, t=t_new), None
 
         state, _ = jax.lax.scan(iteration, state, jnp.arange(iter_num))

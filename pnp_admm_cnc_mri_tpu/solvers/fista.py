@@ -51,6 +51,18 @@ class FISTAState(NamedTuple):
 ProxFn = Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray]
 
 
+def fista_extrapolate(x_old: jnp.ndarray, x_new: jnp.ndarray, t):
+    """One Beck-Teboulle momentum update: ``(t_new, v_new)``.
+
+    Shared by this module and the multi-observation consensus variants
+    (``parallel/consensus.run_consensus_fista[_sharded]``) so the
+    extrapolation formula lives in exactly one place.
+    """
+    t_new = (1.0 + jnp.sqrt(1.0 + 4.0 * t**2)) / 2.0
+    v_new = x_new + ((t - 1.0) / t_new) * (x_new - x_old)
+    return t_new, v_new
+
+
 def data_objective(x: jnp.ndarray, y: jnp.ndarray, mask: jnp.ndarray):
     """f(x) = ||M F x - y||^2 / (2 N), reduced over the trailing two axes.
 
@@ -91,8 +103,7 @@ def run_fista(
         g = jnp.real(fourier.data_term_gradient(state.v, y, mask)).astype(dtype)
         x_new = prox_fn(i, state.v - step * g).astype(dtype)
         if momentum:
-            t_new = (1.0 + jnp.sqrt(1.0 + 4.0 * state.t**2)) / 2.0
-            v_new = x_new + ((state.t - 1.0) / t_new) * (x_new - state.x)
+            t_new, v_new = fista_extrapolate(state.x, x_new, state.t)
         else:
             t_new = state.t
             v_new = x_new

@@ -46,27 +46,32 @@ def main() -> int:
     y, m = synth(jax.random.PRNGKey(0))
 
     def build(tree: bool, rep: int):
+        # jax.jit defers tracing to the first CALL — the toggle must stay
+        # set through the compile below, or both variants trace under
+        # 'auto' and the A/B compares the same program against itself
+        # (the round-2 first-cut of this script had exactly that bug).
         core._STACK_FILTER_TREE = tree
-        den = bm3d_prior.make_bm3d_denoiser()
+        try:
+            den = bm3d_prior.make_bm3d_denoiser()
 
-        @jax.jit
-        def fn(y, m):
-            def body(c, _):
-                out = admm.pnp_admm_l1(y + c * 1e-9, m, cfg, den,
-                                       clamp=False, dtype=jnp.float32)[0].x
-                return jnp.mean(out) * 1e-9, None
+            @jax.jit
+            def fn(y, m):
+                def body(c, _):
+                    out = admm.pnp_admm_l1(y + c * 1e-9, m, cfg, den,
+                                           clamp=False, dtype=jnp.float32)[0].x
+                    return jnp.mean(out) * 1e-9, None
 
-            s, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(rep))
-            return s
+                s, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(rep))
+                return s
 
-        core._STACK_FILTER_TREE = None
+            float(fn(y, m))  # trace + compile UNDER the toggle
+        finally:
+            core._STACK_FILTER_TREE = None
         return fn
 
     out = {}
     for rep, tag in [(1, "pnp_bm3d_5it"), (4, "pnp_bm3d_5it_steady")]:
         fns = {"matrix": build(False, rep), "tree": build(True, rep)}
-        for name, fn in fns.items():
-            float(fn(y, m))  # compile
         times = {"matrix": [], "tree": []}
         for _ in range(4):  # interleaved
             for name, fn in fns.items():

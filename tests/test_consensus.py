@@ -80,9 +80,10 @@ class TestConsensus:
 
 class TestConsensusDCMethod:
     def test_matmul_dc_matches_fft(self, rng):
-        """dc_method='matmul' (the accelerator auto-pick; packed Nyquist
-        path for even W) must match the FFT-kernel solve — consensus
-        batched masks ride the packed blend's leading-dim broadcast."""
+        """dc_method='matmul' (the accelerator auto-pick) must match the
+        FFT-kernel solve with consensus-layout batched masks. (The
+        Nyquist-packed variant is measured-off by default; its batched
+        broadcast is pinned in test_ops.TestMatmulDFT.)"""
         img, masks, ys = _multi_mask_scenario(rng, n_obs=4)
         cfg = ADMMConfig(iter_num=12, lam=0.1, rho=0.05)
         z_f, x_f = consensus.run_consensus(

@@ -248,33 +248,44 @@ class TestMatmulDFT:
                                    atol=1e-12)
 
     def test_dc_packed_odd_width_falls_back(self, rng):
-        """Odd W has no Nyquist bin: the matmul path must still be exact
-        (it routes to the unpacked formulation)."""
+        """Odd W has no Nyquist bin: with packing ENABLED the matmul path
+        must route to the unpacked formulation and stay exact."""
         h, w = 24, 31
         v = rng.random((h, w))
         mask = (rng.random((h, w)) < 0.4).astype(np.float64)
         y = np.fft.fft2(rng.random((h, w))) * mask
         dc_f = fourier.make_rfft_data_consistency(
             jnp.asarray(y), jnp.asarray(mask), 0.1)
-        dc_m = fourier.make_rfft_data_consistency(
-            jnp.asarray(y), jnp.asarray(mask), 0.1, method="matmul")
-        np.testing.assert_allclose(np.asarray(dc_m(jnp.asarray(v))),
-                                   np.asarray(dc_f(jnp.asarray(v))),
+        old = fourier._MATMUL_PACKED
+        try:
+            fourier._MATMUL_PACKED = True
+            dc_m = fourier.make_rfft_data_consistency(
+                jnp.asarray(y), jnp.asarray(mask), 0.1, method="matmul")
+            got = np.asarray(dc_m(jnp.asarray(v)))
+        finally:
+            fourier._MATMUL_PACKED = old
+        np.testing.assert_allclose(got, np.asarray(dc_f(jnp.asarray(v))),
                                    atol=1e-12)
 
     def test_dc_packed_batched_masks(self, rng):
         """Leading mask/observation batch dims (the consensus layout)
-        broadcast through the packed blend's column slices."""
+        broadcast through the PACKED blend's column slices (toggle
+        forced on — packing is measured-off by default)."""
         h, w = 16, 32
         masks = (rng.random((4, h, w)) < 0.3).astype(np.float64)
         y = np.fft.fft2(rng.random((h, w)))[None] * masks
         v = rng.random((4, h, w))
         dc_f = fourier.make_rfft_data_consistency(
             jnp.asarray(y), jnp.asarray(masks), 0.015)
-        dc_m = fourier.make_rfft_data_consistency(
-            jnp.asarray(y), jnp.asarray(masks), 0.015, method="matmul")
-        np.testing.assert_allclose(np.asarray(dc_m(jnp.asarray(v))),
-                                   np.asarray(dc_f(jnp.asarray(v))),
+        old = fourier._MATMUL_PACKED
+        try:
+            fourier._MATMUL_PACKED = True
+            dc_m = fourier.make_rfft_data_consistency(
+                jnp.asarray(y), jnp.asarray(masks), 0.015, method="matmul")
+            got = np.asarray(dc_m(jnp.asarray(v)))
+        finally:
+            fourier._MATMUL_PACKED = old
+        np.testing.assert_allclose(got, np.asarray(dc_f(jnp.asarray(v))),
                                    atol=1e-12)
 
     def test_matmul_rfft2_f32_accuracy(self, rng):
