@@ -137,7 +137,8 @@ TUNED_CONSENSUS_FISTA = {
     "drunet_gray": dict(iter_num=30, nlm=12.0, model_sigma1=15.0, x8=True),  # 32.28
     "ircnn_gray": dict(iter_num=30, nlm=12.0),    # 32.15
     "fdncnn_gray": dict(iter_num=30, nlm=12.0),   # 32.11
-    "ffdnet_gray": dict(iter_num=30, nlm=11.0),   # 31.71
+    "ffdnet_gray": dict(iter_num=30, nlm=13.0),   # 32.12 (the union's
+    # better conditioning prefers a stronger prior than single-mask's 11)
     "dncnn_25": dict(iter_num=30),                # 30.07
     "bm3d": dict(iter_num=10, nlm=15.0),          # 32.14 (weight-free)
 }
