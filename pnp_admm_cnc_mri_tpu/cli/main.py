@@ -97,6 +97,23 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def _warn_bm3d_ignored(args) -> None:
+    """Warn on CNN-only knobs passed with --model bm3d (same policy as
+    the restoration pipelines' _restoration_prior)."""
+    ignored = [name for name, v in
+               (("--weights", args.weights), ("--x8", args.x8),
+                ("--bf16", args.bf16), ("--clean", args.clean),
+                ("--model_sigma1", args.model_sigma1))
+               if v]
+    if ignored:
+        import warnings
+
+        warnings.warn(
+            f"--model bm3d ignores {', '.join(ignored)} (CNN-only knobs)",
+            stacklevel=2,
+        )
+
+
 def _merge_cfg(base, args):
     import dataclasses
 
@@ -184,6 +201,7 @@ def main(argv=None) -> int:
             if args.model == "bm3d":
                 from pnp_admm_cnc_mri_tpu.priors import bm3d_prior
 
+                _warn_bm3d_ignored(args)
                 denoise = bm3d_prior.make_bm3d_denoiser(
                     noise_var=((nlm if nlm is not None else 15.0) / 255.0) ** 2
                 )
@@ -318,6 +336,7 @@ def main(argv=None) -> int:
             # sigma on the [0,255] scale, like the pnp_*_bm3d pipelines
             from pnp_admm_cnc_mri_tpu.priors import bm3d_prior
 
+            _warn_bm3d_ignored(args)
             denoise = bm3d_prior.make_bm3d_denoiser(
                 noise_var=((nlm if nlm is not None else 15.0) / 255.0) ** 2
             )
