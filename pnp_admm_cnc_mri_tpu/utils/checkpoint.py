@@ -71,3 +71,71 @@ def resume_admm(path: str, y, mask, z_update, clamp: bool = False,
 
     final, _ = jax.lax.scan(step, state, jnp.arange(max(remaining, 0)))
     return final, cfg
+
+
+def save_fista_state(path: str, state, iteration: int,
+                     meta: Optional[dict] = None) -> None:
+    """Snapshot a ``solvers.fista.FISTAState`` (x, v, t) + iteration.
+
+    ``meta``: optional JSON-serializable solve parameters (iter_num,
+    step, lam, ...) embedded for resume.
+    """
+    if not path.endswith(".npz"):
+        raise ValueError(f"checkpoint path must end in .npz, got {path!r}")
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    payload = {
+        "fista_x": np.asarray(state.x),
+        "fista_v": np.asarray(state.v),
+        "fista_t": np.asarray(state.t),
+        "iteration": np.asarray(iteration),
+    }
+    if meta is not None:
+        payload["meta_json"] = np.frombuffer(
+            json.dumps(meta).encode(), dtype=np.uint8)
+    np.savez(path, **payload)
+
+
+def load_fista_state(path: str):
+    """-> (FISTAState, iteration, meta dict or None)."""
+    from pnp_admm_cnc_mri_tpu.solvers.fista import FISTAState
+
+    with np.load(path) as z:
+        state = FISTAState(x=z["fista_x"], v=z["fista_v"], t=z["fista_t"])
+        it = int(z["iteration"])
+        meta = None
+        if "meta_json" in z.files:
+            meta = json.loads(bytes(z["meta_json"]).decode())
+    return state, it, meta
+
+
+def resume_fista(path: str, y, mask, prox_fn, iter_num: Optional[int] = None,
+                 step: Optional[float] = None):
+    """Continue a checkpointed FISTA run to ``iter_num`` total iterations
+    (defaults from the embedded meta). Numerically identical to an
+    uninterrupted run: the momentum scalar t resumes from the snapshot
+    and the prox sees the true global iteration index."""
+    import jax
+    import jax.numpy as jnp
+
+    from pnp_admm_cnc_mri_tpu.ops import fourier
+    from pnp_admm_cnc_mri_tpu.solvers.fista import (FISTAState,
+                                                    fista_extrapolate)
+
+    state, it, meta = load_fista_state(path)
+    meta = meta or {}
+    iter_num = iter_num if iter_num is not None else meta.get("iter_num")
+    step = step if step is not None else meta.get("step", 1.0)
+    if iter_num is None:
+        raise ValueError(f"{path} has no embedded iter_num; pass it")
+    state = FISTAState(*(jnp.asarray(a) for a in state))
+    dtype = state.x.dtype
+
+    def iteration(s, i):
+        g = jnp.real(fourier.data_term_gradient(s.v, y, mask)).astype(dtype)
+        x_new = prox_fn(i, s.v - step * g).astype(dtype)
+        t_new, v_new = fista_extrapolate(s.x, x_new, s.t)
+        return FISTAState(x=x_new, v=v_new, t=t_new), None
+
+    final, _ = jax.lax.scan(iteration, state,
+                            jnp.arange(it, max(iter_num, it)))
+    return final, meta

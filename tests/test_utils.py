@@ -256,3 +256,34 @@ class TestDisplayHelpers:
         import matplotlib.pyplot as plt
 
         plt.close(fig)
+
+
+class TestFISTACheckpoint:
+    def test_round_trip_and_resume_identical(self, rng, tmp_path):
+        """Snapshot at iteration k, resume to N: identical to an
+        uninterrupted N-iteration FISTA-L1 run (momentum t included)."""
+        import jax
+        import jax.numpy as jnp
+
+        from pnp_admm_cnc_mri_tpu.ops import prox as prox_mod
+        from pnp_admm_cnc_mri_tpu.solvers import fista
+        from pnp_admm_cnc_mri_tpu.utils import checkpoint as ckpt
+
+        n = 24
+        img = rng.random((n, n))
+        mask = (rng.random((n, n)) < 0.4).astype(np.float64)
+        y = jnp.asarray(np.fft.fft2(img) * mask, jnp.complex128)
+        mj = jnp.asarray(mask)
+        prox_fn = lambda i, u: prox_mod.soft(u, 1e-3)
+
+        full, _ = fista.run_fista(y, mj, 20, prox_fn, dtype=jnp.float64)
+
+        half, _ = fista.run_fista(y, mj, 8, prox_fn, dtype=jnp.float64)
+        p = str(tmp_path / "fista.npz")
+        ckpt.save_fista_state(p, half, 8, meta={"iter_num": 20, "step": 1.0})
+        resumed, meta = ckpt.resume_fista(p, y, mj, prox_fn)
+        assert meta["iter_num"] == 20
+        np.testing.assert_allclose(np.asarray(resumed.x),
+                                   np.asarray(full.x), atol=1e-12)
+        np.testing.assert_allclose(float(resumed.t), float(full.t),
+                                   rtol=1e-12)
