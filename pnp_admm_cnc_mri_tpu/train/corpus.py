@@ -268,3 +268,82 @@ def main(argv=None) -> int:  # pragma: no cover - thin CLI
 
 if __name__ == "__main__":  # pragma: no cover
     raise SystemExit(main())
+
+
+# ---------------------------------------------------------------------------
+# 4. Spectral-diversity synthetics (round-2 corpus expansion)
+
+
+def gaussian_fields(
+    n: int, size: int = 256, seed: int = 0,
+    beta_range: tuple = (1.0, 2.5),
+) -> np.ndarray:
+    """(n, size, size) float32 1/f^beta Gaussian random fields.
+
+    Dead leaves cover occlusion/edge statistics; these cover the smooth
+    multiscale-texture end of the natural-image spectrum (power-law
+    spectra are the classic natural-image prior). beta is sampled per
+    image so the corpus spans from rough (beta~1) to very smooth
+    (beta~2.5) textures.
+    """
+    rng = np.random.default_rng(seed)
+    fy = np.fft.fftfreq(size)[:, None]
+    fx = np.fft.fftfreq(size)[None, :]
+    rad = np.sqrt(fy**2 + fx**2)
+    rad[0, 0] = 1.0 / size
+    out = np.empty((n, size, size), np.float32)
+    for i in range(n):
+        beta = rng.uniform(*beta_range)
+        spec = (rng.standard_normal((size, size))
+                + 1j * rng.standard_normal((size, size))) * rad ** (-beta / 2.0)
+        img = np.fft.ifft2(spec).real
+        lo, hi = img.min(), img.max()
+        out[i] = ((img - lo) / max(hi - lo, 1e-12)).astype(np.float32)
+    return out
+
+
+def mri_phantoms(
+    n: int, size: int = 256, seed: int = 0,
+    n_ellipses: tuple = (6, 14),
+) -> np.ndarray:
+    """(n, size, size) float32 random multi-ellipse MRI-like phantoms.
+
+    Shepp-Logan-style piecewise-smooth anatomy generators: a skull
+    ellipse, nested random ellipses with random intensities/rotations, a
+    smooth bias field and light 1/f texture inside the support — brain
+    statistics without touching any real evaluation image.
+    """
+    from scipy.ndimage import gaussian_filter
+
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:size, 0:size].astype(np.float32)
+    cy, cx = (size - 1) / 2.0, (size - 1) / 2.0
+    out = np.empty((n, size, size), np.float32)
+    for i in range(n):
+        img = np.zeros((size, size), np.float32)
+
+        def ellipse_mask(ecy, ecx, a, b, th):
+            yr = (yy - ecy) * np.cos(th) - (xx - ecx) * np.sin(th)
+            xr = (yy - ecy) * np.sin(th) + (xx - ecx) * np.cos(th)
+            return (yr / a) ** 2 + (xr / b) ** 2 <= 1.0
+
+        skull = ellipse_mask(cy, cx, size * rng.uniform(0.33, 0.45),
+                             size * rng.uniform(0.28, 0.4),
+                             rng.uniform(0, np.pi))
+        img[skull] = rng.uniform(0.55, 0.85)
+        for _ in range(rng.integers(*n_ellipses)):
+            a = size * rng.uniform(0.03, 0.22)
+            b = size * rng.uniform(0.03, 0.22)
+            ecy = cy + rng.uniform(-0.22, 0.22) * size
+            ecx = cx + rng.uniform(-0.22, 0.22) * size
+            m = ellipse_mask(ecy, ecx, a, b, rng.uniform(0, np.pi)) & skull
+            # blend rather than overwrite: nested soft-tissue contrasts
+            img[m] = np.clip(img[m] + rng.uniform(-0.45, 0.45), 0.05, 1.0)
+        # smooth bias field (coil inhomogeneity) + light texture
+        bias = gaussian_filter(rng.standard_normal((size, size)), size / 6.0)
+        bias = 1.0 + 0.25 * bias / max(np.abs(bias).max(), 1e-12)
+        tex = gaussian_filter(rng.standard_normal((size, size)), 1.2)
+        img = img * bias + 0.015 * tex * skull
+        img = gaussian_filter(img, 0.8)
+        out[i] = img.clip(0.0, 1.0)
+    return out
