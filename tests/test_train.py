@@ -149,3 +149,36 @@ def test_multiscale_patches(patches):
                                                 scales=(1.0, 0.5))
     assert multi.shape[0] > single.shape[0]
     assert multi.shape[1:] == (16, 16)
+
+
+class TestCleanCorpusGenerators:
+    """Synthetic corpus generators (train/corpus.py): deterministic,
+    [0,1]-ranged, right shapes — the leakage-free training data sources."""
+
+    def test_generators_shapes_range_determinism(self):
+        from pnp_admm_cnc_mri_tpu.train import corpus
+
+        for fn, kw in [
+            (corpus.dead_leaves, dict(n=2, size=64, seed=3)),
+            (corpus.gaussian_fields, dict(n=2, size=64, seed=3)),
+            (corpus.mri_phantoms, dict(n=2, size=64, seed=3)),
+        ]:
+            a = fn(**kw)
+            b = fn(**kw)
+            assert a.shape == (2, 64, 64) and a.dtype == np.float32
+            assert float(a.min()) >= 0.0 and float(a.max()) <= 1.0
+            np.testing.assert_array_equal(a, b)  # seeded => reproducible
+            # non-degenerate content
+            assert float(a.std()) > 0.01
+
+    def test_phantoms_have_anatomy_like_support(self):
+        """Phantoms are bright ovals on a dark background (the MRI-like
+        layout): the border stays dark, the center is bright."""
+        from pnp_admm_cnc_mri_tpu.train import corpus
+
+        p = corpus.mri_phantoms(3, 96, seed=5)
+        border = np.concatenate([p[:, 0, :], p[:, -1, :], p[:, :, 0],
+                                 p[:, :, -1]], axis=-1)
+        center = p[:, 36:60, 36:60]
+        assert float(border.mean()) < 0.1
+        assert float(center.mean()) > 0.25
