@@ -49,7 +49,8 @@ def build_grid(imgs01, masks_dict, sigma_scales, base_noise):
 def main(argv=None) -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--algo", default="admm_l1",
-                   choices=["admm_l1", "admm_cnc", "pnp_l1_d", "pnp_cnc_d"])
+                   choices=["admm_l1", "admm_cnc", "pnp_l1_d", "pnp_cnc_d",
+                            "pnp_fista_d"])
     p.add_argument("--model", default="dncnn_25")
     p.add_argument("--weights", default=None)
     p.add_argument("--testset", default="set")
@@ -116,7 +117,12 @@ def main(argv=None) -> int:
     else:
         from pnp_admm_cnc_mri_tpu.priors import denoiser as dn_mod
 
-        if args.algo == "pnp_l1_d":
+        if args.algo == "pnp_fista_d":
+            tuned = cfg_mod.TUNED_FISTA_D.get(args.model, {})
+            iters = (args.iter_num if args.iter_num is not None
+                     else tuned.get("iter_num", 30))
+            cfg = cfg_mod.ADMMConfig(iter_num=iters)
+        elif args.algo == "pnp_l1_d":
             it, rho = cfg_mod.PNP_L1_DEFAULTS.get(args.model, (50, 0.25))
             iters = args.iter_num if args.iter_num is not None else it
             cfg = cfg_mod.ADMMConfig(iter_num=iters, rho=rho)
@@ -133,6 +139,19 @@ def main(argv=None) -> int:
         )
 
         def run(y, m):
+            if args.algo == "pnp_fista_d":
+                # gradient-form PnP; the convergence signal is the
+                # per-iteration k-space data residual ||M F x - y||_F
+                # (sqrt(2N * data_objective)), psum-able like the ADMM
+                # primal residual
+                from pnp_admm_cnc_mri_tpu.solvers import fista as fista_mod
+
+                st, objs = fista_mod.run_fista(
+                    y, m, cfg.iter_num,
+                    lambda i, u: jnp.clip(denoise(u, i), 0.0, 1.0),
+                    collect_objective=True)
+                n = y.shape[-2] * y.shape[-1]
+                return st, jnp.sqrt(2.0 * n * objs)
             if args.algo == "pnp_l1_d":
                 return admm.pnp_admm_l1(y, m, cfg, denoise, dtype=jnp.float32,
                                         collect_residuals=True)

@@ -44,3 +44,21 @@ def test_sweep_cli_end_to_end():
         [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
     )
     assert summary["scenarios"] >= 1 and summary["avg_psnr"] > 15
+
+
+@pytest.mark.slow
+def test_sweep_cli_fista_end_to_end():
+    proc = subprocess.run(
+        [
+            sys.executable, "-m", "pnp_admm_cnc_mri_tpu.cli.sweep",
+            "--cpu", "--algo", "pnp_fista_d", "--model", "ffdnet_gray",
+            "--testset", "set1", "--masks", "Q_Random30",
+            "--iter_num", "5",
+        ],
+        capture_output=True, text=True, timeout=600, cwd="/root/repo",
+    )
+    assert proc.returncode == 0, proc.stderr[-400:]
+    summary = json.loads(
+        [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
+    )
+    assert summary["scenarios"] >= 1 and summary["avg_psnr"] > 20
