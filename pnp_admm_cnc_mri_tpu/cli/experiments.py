@@ -300,6 +300,54 @@ def run_pnp_fista(
     return avg
 
 
+def run_pnp_hqs(
+    denoise: Callable,
+    iter_num: int,
+    sigma255: float = 10.0,
+    model_sigma1: float = 49.0,
+    model_sigma2: float = 15.0,
+    clamp: bool = True,
+    testset: str = "set1",
+    mask_name: str = "Q_Random30",
+    testsets_dir: Optional[str] = None,
+    data_dir: Optional[str] = None,
+    results_dir: str = "results",
+    save_images: bool = True,
+    result_tag: str = "pnp_hqs",
+    dtype=None,
+) -> Dict[str, float]:
+    """PnP-HQS (``solvers/hqs.pnp_hqs``) over a testset — the DPIR
+    iteration on the MRI problem, the third MRI solver family beside
+    ADMM and FISTA. The ladder ``(iter_num, model_sigma1, model_sigma2)``
+    must match the denoiser's (``TUNED_HQS_D`` keeps them coupled)."""
+    import jax
+    import jax.numpy as jnp
+
+    from pnp_admm_cnc_mri_tpu.solvers import hqs
+
+    testsets_dir = testsets_dir or images.DEFAULT_TESTSETS
+    batch = prepare_batch(os.path.join(testsets_dir, testset), mask_name, data_dir)
+    if dtype is None:
+        dtype = jnp.float32
+    cdtype = jnp.complex128 if dtype == jnp.float64 else jnp.complex64
+    y = _device_complex(batch["y"], cdtype, dtype)
+    mask = jnp.asarray(np.asarray(batch["mask"]).astype(np.dtype(dtype)))
+
+    t0 = time.perf_counter()
+    z, _ = hqs.pnp_hqs(y, mask, iter_num, denoise, sigma255=sigma255,
+                       model_sigma1=model_sigma1, model_sigma2=model_sigma2,
+                       clamp=clamp, dtype=dtype)
+    x = np.asarray(jax.block_until_ready(z))
+    dt = time.perf_counter() - t0
+
+    avg = score_and_log(
+        x, batch["truth"], batch["names"],
+        f"{testset}_dn_{result_tag}_{mask_name}", results_dir, save_images,
+    )
+    avg.update(wall_s=dt, images=len(batch["names"]), iters=iter_num)
+    return avg
+
+
 def _restoration_prior(
     model_name, iter_num, eff_nlm, sigmas, weights, x8, model_sigma1, bf16,
     clean=False,

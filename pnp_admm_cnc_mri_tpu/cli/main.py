@@ -38,6 +38,7 @@ def build_parser() -> argparse.ArgumentParser:
             "pnp_deblur",
             "fista_l1",
             "pnp_fista_d",
+            "pnp_hqs_d",
         ],
     )
     p.add_argument("--step", type=float, default=1.0,
@@ -51,7 +52,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="pnp_deblur only: blur kernel")
     p.add_argument("--noise_sigma", type=float, default=None,
                    help="pnp_sr/pnp_deblur: degradation noise sigma on the "
-                        "[0,255] scale (defaults: sr 1.5, deblur 2.55)")
+                        "[0,255] scale (defaults: sr 1.5, deblur 2.55); "
+                        "pnp_hqs_d: the alpha-ladder scale (default 10)")
     p.add_argument("--testset", default="set1")
     p.add_argument("--mask", default="Q_Random30")
     p.add_argument("--iter_num", type=int, default=None)
@@ -356,6 +358,44 @@ def main(argv=None) -> int:
         out = experiments.run_pnp_fista(
             denoise, it, step=args.step, dtype=dtype,
             result_tag=f"pnp_fista_{args.model}", **common,
+        )
+    elif args.algo == "pnp_hqs_d":
+        from pnp_admm_cnc_mri_tpu.priors import denoiser as denoiser_mod
+
+        tuned = cfg_mod.TUNED_HQS_D.get(args.model, {}) if args.tuned else {}
+        it = args.iter_num or tuned.get("iter_num", 30)
+        x8 = args.x8 or (not args.no_x8 and tuned.get("x8", False))
+        nlm = args.nlm if args.nlm is not None else tuned.get("nlm")
+        sigma255 = (args.noise_sigma if args.noise_sigma is not None
+                    else tuned.get("sigma255", 10.0))
+        ms1 = (args.model_sigma1 if args.model_sigma1 is not None
+               else tuned.get("model_sigma1", 49.0))
+        ms2 = nlm if nlm is not None else 15.0
+        if args.model == "bm3d":
+            # ladder-driven BM3D prox (sigma_k decays with the ladder, like
+            # the restoration pipelines' _restoration_prior bm3d branch)
+            from pnp_admm_cnc_mri_tpu.ops import schedules as schedules_mod
+            from pnp_admm_cnc_mri_tpu.priors import bm3d_prior
+
+            _warn_bm3d_ignored(args)
+            _, sigmas = schedules_mod.get_rho_sigma(
+                sigma=sigma255 / 255.0, iter_num=it,
+                model_sigma1=ms1, model_sigma2=ms2)
+            denoise = bm3d_prior.make_bm3d_ladder_denoiser(sigmas)
+        else:
+            denoise = denoiser_mod.build_denoiser(
+                args.model,
+                weights=denoiser_mod.resolve_weights(args.model, args.weights,
+                                                     clean=args.clean),
+                iter_num=it, x8=x8,
+                compute_dtype=jnp.bfloat16 if args.bf16 else None,
+                noise_level_model=denoiser_mod.nlm_for_model(args.model, nlm),
+                model_sigma1=ms1,
+            )
+        out = experiments.run_pnp_hqs(
+            denoise, it, sigma255=sigma255, model_sigma1=ms1,
+            model_sigma2=ms2, dtype=dtype,
+            result_tag=f"pnp_hqs_{args.model}", **common,
         )
     elif args.algo in ("admm_l1", "admm_cnc"):
         base = cfg_mod.ADMM_L1_DEFAULT if args.algo == "admm_l1" else cfg_mod.ADMM_CNC_DEFAULT

@@ -129,6 +129,21 @@ TUNED_FISTA_D = {
     # +0.67 over the tuned ADMM BM3D pipelines, converged by 10 iters)
 }
 
+# PnP-HQS (solvers/hqs.py — the DPIR iteration on the MRI problem; the
+# ladder the reference vendors in utils/utils_pnp.py:14 drives BOTH the
+# per-iteration data-solve weight and the denoiser sigma). Keys: iter_num,
+# nlm (= model_sigma2, the ladder endpoint), sigma255 (the alpha-ladder
+# scale — DPIR's degradation-noise sigma knob), model_sigma1. Swept on
+# set1/Q_Random30 with the CLEAN weights.
+TUNED_HQS_D = {
+    "drunet_gray": dict(iter_num=30, nlm=8.0, sigma255=10.0),
+    "ffdnet_gray": dict(iter_num=30, nlm=10.0, sigma255=10.0),
+    "fdncnn_gray": dict(iter_num=30, nlm=10.0, sigma255=10.0),
+    "ircnn_gray": dict(iter_num=30, nlm=10.0, sigma255=10.0),
+    "dncnn_25": dict(iter_num=30, sigma255=10.0),
+    "bm3d": dict(iter_num=10, nlm=15.0, sigma255=10.0),
+}
+
 # Multi-mask consensus FISTA (parallel/consensus.run_consensus_fista —
 # union-preconditioned fused gradient, one psum/iter): swept on set1
 # across all three reference masks jointly, CLEAN weights. Beats

@@ -167,8 +167,9 @@ class TestCleanWeights:
             for name in ("drunet_gray", "ffdnet_gray", "fdncnn_gray",
                          "ircnn_gray", "dncnn_25"):
                 assert name in reg, (name, reg)
-        # FISTA registries: all five families + the weight-free bm3d prox
-        for reg in (cfg.TUNED_FISTA_D, cfg.TUNED_CONSENSUS_FISTA):
+        # FISTA/HQS registries: all five families + the weight-free bm3d prox
+        for reg in (cfg.TUNED_FISTA_D, cfg.TUNED_CONSENSUS_FISTA,
+                    cfg.TUNED_HQS_D):
             for name in ("drunet_gray", "ffdnet_gray", "fdncnn_gray",
                          "ircnn_gray", "dncnn_25", "bm3d"):
                 assert name in reg, (name, reg)
