@@ -348,6 +348,52 @@ def run_pnp_hqs(
     return avg
 
 
+def run_red(
+    denoise: Callable,
+    iter_num: int,
+    lam: float = 0.2,
+    step: float = 1.0,
+    variant: str = "fp",
+    clamp: bool = True,
+    testset: str = "set1",
+    mask_name: str = "Q_Random30",
+    testsets_dir: Optional[str] = None,
+    data_dir: Optional[str] = None,
+    results_dir: str = "results",
+    save_images: bool = True,
+    result_tag: str = "red",
+    dtype=None,
+) -> Dict[str, float]:
+    """RED (regularization by denoising, ``solvers/red.run_red``) over a
+    testset — the fourth MRI solver family (explicit denoiser-built
+    regularizer; Romano-Elad-Milanfar 2017)."""
+    import jax
+    import jax.numpy as jnp
+
+    from pnp_admm_cnc_mri_tpu.solvers import red
+
+    testsets_dir = testsets_dir or images.DEFAULT_TESTSETS
+    batch = prepare_batch(os.path.join(testsets_dir, testset), mask_name, data_dir)
+    if dtype is None:
+        dtype = jnp.float32
+    cdtype = jnp.complex128 if dtype == jnp.float64 else jnp.complex64
+    y = _device_complex(batch["y"], cdtype, dtype)
+    mask = jnp.asarray(np.asarray(batch["mask"]).astype(np.dtype(dtype)))
+
+    t0 = time.perf_counter()
+    x, _ = red.run_red(y, mask, iter_num, denoise, lam=lam, step=step,
+                       variant=variant, clamp=clamp, dtype=dtype)
+    x = np.asarray(jax.block_until_ready(x))
+    dt = time.perf_counter() - t0
+
+    avg = score_and_log(
+        x, batch["truth"], batch["names"],
+        f"{testset}_dn_{result_tag}_{mask_name}", results_dir, save_images,
+    )
+    avg.update(wall_s=dt, images=len(batch["names"]), iters=iter_num)
+    return avg
+
+
 def _restoration_prior(
     model_name, iter_num, eff_nlm, sigmas, weights, x8, model_sigma1, bf16,
     clean=False,

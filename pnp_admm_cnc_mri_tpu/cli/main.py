@@ -39,8 +39,12 @@ def build_parser() -> argparse.ArgumentParser:
             "fista_l1",
             "pnp_fista_d",
             "pnp_hqs_d",
+            "red_d",
         ],
     )
+    p.add_argument("--red_variant", default="fp", choices=["fp", "gd"],
+                   help="red_d only: fixed-point (implicit, default) or "
+                        "explicit gradient-descent RED iteration")
     p.add_argument("--step", type=float, default=1.0,
                    help="fista_l1/pnp_fista_d/consensus_fista_d: gradient "
                         "step size (the data-term Lipschitz constant is "
@@ -396,6 +400,42 @@ def main(argv=None) -> int:
             denoise, it, sigma255=sigma255, model_sigma1=ms1,
             model_sigma2=ms2, dtype=dtype,
             result_tag=f"pnp_hqs_{args.model}", **common,
+        )
+    elif args.algo == "red_d":
+        from pnp_admm_cnc_mri_tpu.priors import denoiser as denoiser_mod
+
+        tuned = cfg_mod.TUNED_RED_D.get(args.model, {}) if args.tuned else {}
+        it = args.iter_num or tuned.get("iter_num", 50)
+        lam = args.lam if args.lam is not None else tuned.get("lam", 0.3)
+        x8 = args.x8 or (not args.no_x8 and tuned.get("x8", False))
+        nlm = args.nlm if args.nlm is not None else tuned.get("nlm")
+        if args.model == "bm3d":
+            from pnp_admm_cnc_mri_tpu.priors import bm3d_prior
+
+            _warn_bm3d_ignored(args)
+            denoise = bm3d_prior.make_bm3d_denoiser(
+                noise_var=((nlm if nlm is not None else 15.0) / 255.0) ** 2
+            )
+        else:
+            # RED uses a CONSTANT-strength denoiser: flatten the sigma
+            # ladder by starting it at the endpoint (model_sigma1 = nlm)
+            # unless the user asks for a decaying ladder explicitly.
+            ms1 = args.model_sigma1
+            if ms1 is None and nlm is not None:
+                ms1 = nlm
+            extra = {"model_sigma1": ms1} if ms1 is not None else {}
+            denoise = denoiser_mod.build_denoiser(
+                args.model,
+                weights=denoiser_mod.resolve_weights(args.model, args.weights,
+                                                     clean=args.clean),
+                iter_num=it, x8=x8,
+                compute_dtype=jnp.bfloat16 if args.bf16 else None,
+                noise_level_model=denoiser_mod.nlm_for_model(args.model, nlm),
+                **extra,
+            )
+        out = experiments.run_red(
+            denoise, it, lam=lam, step=args.step, variant=args.red_variant,
+            dtype=dtype, result_tag=f"red_{args.model}", **common,
         )
     elif args.algo in ("admm_l1", "admm_cnc"):
         base = cfg_mod.ADMM_L1_DEFAULT if args.algo == "admm_l1" else cfg_mod.ADMM_CNC_DEFAULT

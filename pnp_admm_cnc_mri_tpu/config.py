@@ -144,6 +144,20 @@ TUNED_HQS_D = {
     "bm3d": dict(iter_num=10, nlm=15.0, sigma255=10.0),
 }
 
+# RED (solvers/red.py — explicit denoiser-built regularizer, fixed-point
+# variant; Romano-Elad-Milanfar 2017). Keys: iter_num, lam (regularizer
+# weight), nlm (FIXED denoiser sigma — RED uses a constant-strength
+# denoiser, so the CLI flattens the ladder with model_sigma1 = nlm).
+# Swept on set1/Q_Random30 with the CLEAN weights.
+TUNED_RED_D = {
+    "drunet_gray": dict(iter_num=50, lam=0.3, nlm=8.0),
+    "ffdnet_gray": dict(iter_num=50, lam=0.3, nlm=10.0),
+    "fdncnn_gray": dict(iter_num=50, lam=0.3, nlm=10.0),
+    "ircnn_gray": dict(iter_num=50, lam=0.3, nlm=10.0),
+    "dncnn_25": dict(iter_num=50, lam=0.3),
+    "bm3d": dict(iter_num=20, lam=0.3, nlm=15.0),
+}
+
 # Multi-mask consensus FISTA (parallel/consensus.run_consensus_fista —
 # union-preconditioned fused gradient, one psum/iter): swept on set1
 # across all three reference masks jointly, CLEAN weights. Beats
