@@ -50,7 +50,7 @@ def main(argv=None) -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--algo", default="admm_l1",
                    choices=["admm_l1", "admm_cnc", "pnp_l1_d", "pnp_cnc_d",
-                            "pnp_fista_d"])
+                            "pnp_fista_d", "pnp_hqs_d", "red_d"])
     p.add_argument("--model", default="dncnn_25")
     p.add_argument("--weights", default=None)
     p.add_argument("--testset", default="set")
@@ -112,13 +112,17 @@ def main(argv=None) -> int:
         solver = {"admm_l1": admm.admm_l1, "admm_cnc": admm.admm_cnc}[args.algo]
 
         def run(y, m):
-            return solver(y, m, cfg, dtype=jnp.float32, collect_residuals=True)
+            final, res = solver(y, m, cfg, dtype=jnp.float32,
+                                collect_residuals=True)
+            return final.x, res
 
     else:
         from pnp_admm_cnc_mri_tpu.priors import denoiser as dn_mod
 
-        if args.algo == "pnp_fista_d":
-            tuned = cfg_mod.TUNED_FISTA_D.get(args.model, {})
+        if args.algo in ("pnp_fista_d", "pnp_hqs_d", "red_d"):
+            tuned = {"pnp_fista_d": cfg_mod.TUNED_FISTA_D,
+                     "pnp_hqs_d": cfg_mod.TUNED_HQS_D,
+                     "red_d": cfg_mod.TUNED_RED_D}[args.algo].get(args.model, {})
             iters = (args.iter_num if args.iter_num is not None
                      else tuned.get("iter_num", 30))
             cfg = cfg_mod.ADMMConfig(iter_num=iters)
@@ -151,20 +155,36 @@ def main(argv=None) -> int:
                     lambda i, u: jnp.clip(denoise(u, i), 0.0, 1.0),
                     collect_objective=True)
                 n = y.shape[-2] * y.shape[-1]
-                return st, jnp.sqrt(2.0 * n * objs)
+                return st.x, jnp.sqrt(2.0 * n * objs)
+            if args.algo == "pnp_hqs_d":
+                # DPIR ladder solver; signal = primal residual ||x - z||
+                from pnp_admm_cnc_mri_tpu.solvers import hqs as hqs_mod
+
+                return hqs_mod.pnp_hqs(y, m, cfg.iter_num, denoise,
+                                       collect_residuals=True)
+            if args.algo == "red_d":
+                # RED; signal = denoiser residual ||x - D(x)||
+                from pnp_admm_cnc_mri_tpu.solvers import red as red_mod
+
+                return red_mod.run_red(y, m, cfg.iter_num, denoise,
+                                       collect_residuals=True)
             if args.algo == "pnp_l1_d":
-                return admm.pnp_admm_l1(y, m, cfg, denoise, dtype=jnp.float32,
-                                        collect_residuals=True)
-            return admm.pnp_admm_cnc(y, m, cfg, denoise, dtype=jnp.float32,
-                                     collect_residuals=True)
+                final, res = admm.pnp_admm_l1(y, m, cfg, denoise,
+                                              dtype=jnp.float32,
+                                              collect_residuals=True)
+                return final.x, res
+            final, res = admm.pnp_admm_cnc(y, m, cfg, denoise,
+                                           dtype=jnp.float32,
+                                           collect_residuals=True)
+            return final.x, res
 
     @jax.jit
     def solve(y, m):
-        final, res = run(y, m)
-        # per-scenario relative primal residual at the last iteration
-        xn = jnp.sqrt(jnp.sum(final.x**2, axis=(-2, -1))) + 1e-12
+        xf, res = run(y, m)
+        # per-scenario relative residual at the last iteration
+        xn = jnp.sqrt(jnp.sum(xf**2, axis=(-2, -1))) + 1e-12
         rel = res[-1] / xn
-        return final.x, rel
+        return xf, rel
 
     y_d = jax.device_put(jnp.asarray(ys_p), NamedSharding(mesh, P("data")))
     m_d = jax.device_put(jnp.asarray(ms_p), NamedSharding(mesh, P("data")))

@@ -136,12 +136,12 @@ TUNED_FISTA_D = {
 # scale — DPIR's degradation-noise sigma knob), model_sigma1. Swept on
 # set1/Q_Random30 with the CLEAN weights.
 TUNED_HQS_D = {
-    "drunet_gray": dict(iter_num=30, nlm=8.0, sigma255=10.0),
-    "ffdnet_gray": dict(iter_num=30, nlm=10.0, sigma255=10.0),
-    "fdncnn_gray": dict(iter_num=30, nlm=10.0, sigma255=10.0),
-    "ircnn_gray": dict(iter_num=30, nlm=10.0, sigma255=10.0),
-    "dncnn_25": dict(iter_num=30, sigma255=10.0),
-    "bm3d": dict(iter_num=10, nlm=15.0, sigma255=10.0),
+    "drunet_gray": dict(iter_num=30, nlm=8.0, sigma255=10.0),   # 31.32
+    "ffdnet_gray": dict(iter_num=30, nlm=10.0, sigma255=5.0),   # 31.14
+    "fdncnn_gray": dict(iter_num=30, nlm=10.0, sigma255=5.0),   # 31.05
+    "ircnn_gray": dict(iter_num=30, nlm=8.0, sigma255=5.0),     # 31.20
+    "dncnn_25": dict(iter_num=10, sigma255=1.0),                # 29.12
+    "bm3d": dict(iter_num=10, nlm=15.0, sigma255=5.0),          # (weight-free)
 }
 
 # RED (solvers/red.py — explicit denoiser-built regularizer, fixed-point

@@ -62,18 +62,22 @@ def make_bm3d_ladder_denoiser(
     ``sigmas`` is the [0,1]-scale array from ``schedules.get_rho_sigma``
     — the same ladder that conditions the CNN priors in the DPIR-style
     restoration pipelines (reference ``utils/utils_pnp.py:14-23``). Used
-    by ``pnp_sr``/``pnp_deblur`` with ``--model bm3d``: the iterative
-    counterpart of the one-shot ``api.bm3d_deblurring``. ``i`` must be a
-    Python int (the HQS loop is unrolled over iterations).
+    by ``pnp_sr``/``pnp_deblur`` with ``--model bm3d`` (Python loop,
+    concrete ``i``) and by the scanned MRI HQS solver
+    (``solvers/hqs.run_hqs``, traced ``i`` — the sigma is gathered on
+    device; ``core._bm3d_jit`` takes sigma as a runtime value).
     """
     sig = np.asarray(sigmas, np.float64)
 
     def denoise(v, i):
-        s = float(sig[int(i)])
+        if isinstance(i, (int, np.integer)):
+            s = jnp.asarray(float(sig[int(i)]))
+        else:  # traced scan counter: gather the sigma on device
+            s = jnp.asarray(sig)[i]
 
         def denoise_one(img):
             return core._bm3d_jit(
-                img, jnp.asarray(s, img.dtype), profile, stages, False
+                img, s.astype(img.dtype), profile, stages, False
             )
 
         if v.ndim == 2:

@@ -110,6 +110,24 @@ class TestHQSCore:
         assert np.isfinite(np.asarray(res)).all()
 
 
+class TestBM3DLadderTracedIndex:
+    def test_traced_index_matches_static(self, rng):
+        """The BM3D ladder prior gathers sigma on device when the
+        iteration index is traced (the scanned HQS path) — identical to
+        the concrete-index path the Python-loop pipelines use."""
+        import jax
+
+        from pnp_admm_cnc_mri_tpu.priors import bm3d_prior
+
+        img = jnp.asarray(rng.random((32, 32)), jnp.float32)
+        den = bm3d_prior.make_bm3d_ladder_denoiser(
+            np.array([0.15, 0.05], np.float64))
+        static = den(img, 1)
+        traced = jax.jit(lambda v, i: den(v, i))(img, jnp.asarray(1))
+        np.testing.assert_allclose(np.asarray(traced), np.asarray(static),
+                                   atol=1e-6)
+
+
 @requires_reference_data
 class TestHQSGolden:
     def test_pnp_hqs_dncnn_quality_band(self):

@@ -47,6 +47,25 @@ def test_sweep_cli_end_to_end():
 
 
 @pytest.mark.slow
+@pytest.mark.parametrize("algo", ["pnp_hqs_d", "red_d"])
+def test_sweep_cli_hqs_red_end_to_end(algo):
+    proc = subprocess.run(
+        [
+            sys.executable, "-m", "pnp_admm_cnc_mri_tpu.cli.sweep",
+            "--cpu", "--algo", algo, "--model", "ffdnet_gray",
+            "--testset", "set1", "--masks", "Q_Random30",
+            "--iter_num", "5",
+        ],
+        capture_output=True, text=True, timeout=600, cwd="/root/repo",
+    )
+    assert proc.returncode == 0, proc.stderr[-400:]
+    summary = json.loads(
+        [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
+    )
+    assert summary["scenarios"] >= 1 and summary["avg_psnr"] > 20
+
+
+@pytest.mark.slow
 def test_sweep_cli_fista_end_to_end():
     proc = subprocess.run(
         [
