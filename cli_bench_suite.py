@@ -145,6 +145,26 @@ def main(argv=None) -> int:
     ips, dt = timed(lambda: fn(small, m), args.iter_num, small.shape[0])
     record("pnp_fista_dncnn17", ips, dt, {"batch": int(small.shape[0])})
 
+    # PnP-HQS (DPIR ladder solver; same DnCNN prior)
+    from pnp_admm_cnc_mri_tpu.solvers import hqs as hqs_mod
+
+    fn = jax.jit(
+        lambda y, m: hqs_mod.pnp_hqs(
+            y, m, args.iter_num, den, dtype=jnp.float32)[0].mean()
+    )
+    ips, dt = timed(lambda: fn(small, m), args.iter_num, small.shape[0])
+    record("pnp_hqs_dncnn17", ips, dt, {"batch": int(small.shape[0])})
+
+    # RED fixed-point (gradient + denoiser-residual step; same prior)
+    from pnp_admm_cnc_mri_tpu.solvers import red as red_mod
+
+    fn = jax.jit(
+        lambda y, m: red_mod.run_red(
+            y, m, args.iter_num, den, dtype=jnp.float32)[0].mean()
+    )
+    ips, dt = timed(lambda: fn(small, m), args.iter_num, small.shape[0])
+    record("red_dncnn17", ips, dt, {"batch": int(small.shape[0])})
+
     # consensus-FISTA (union-preconditioned fused gradient, L1 prox)
     from pnp_admm_cnc_mri_tpu.ops import prox as prox_mod
 

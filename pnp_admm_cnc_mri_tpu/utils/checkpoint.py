@@ -108,6 +108,105 @@ def load_fista_state(path: str):
     return state, it, meta
 
 
+def save_iterate_state(path: str, x, iteration: int, kind: str,
+                       meta: Optional[dict] = None) -> None:
+    """Snapshot a single-iterate solver state (HQS's z / RED's x) +
+    iteration. ``kind`` tags the solver family ('hqs' or 'red') so a
+    checkpoint cannot be resumed by the wrong driver; ``meta`` embeds the
+    solve parameters (HQS: the remaining alphas ladder; RED: lam/step/
+    variant) as JSON."""
+    if not path.endswith(".npz"):
+        raise ValueError(f"checkpoint path must end in .npz, got {path!r}")
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    payload = {
+        "iterate": np.asarray(x),
+        "iteration": np.asarray(iteration),
+        "kind": np.frombuffer(kind.encode(), dtype=np.uint8),
+    }
+    if meta is not None:
+        payload["meta_json"] = np.frombuffer(
+            json.dumps(meta).encode(), dtype=np.uint8)
+    np.savez(path, **payload)
+
+
+def load_iterate_state(path: str, kind: Optional[str] = None):
+    """-> (iterate, iteration, meta dict or None). ``kind`` (if given)
+    must match the tag the snapshot was saved with."""
+    with np.load(path) as z:
+        x = z["iterate"]
+        it = int(z["iteration"])
+        saved_kind = bytes(z["kind"]).decode()
+        meta = None
+        if "meta_json" in z.files:
+            meta = json.loads(bytes(z["meta_json"]).decode())
+    if kind is not None and saved_kind != kind:
+        raise ValueError(
+            f"{path} is a {saved_kind!r} checkpoint, not {kind!r}")
+    return x, it, meta
+
+
+def resume_hqs(path: str, y, mask, denoise, iter_num: Optional[int] = None):
+    """Continue a checkpointed HQS run (``solvers.hqs.run_hqs``) to
+    ``iter_num`` total iterations. The alphas ladder comes from the
+    embedded meta (saved as a list), so the resumed run walks exactly the
+    remaining rungs — numerically identical to an uninterrupted run."""
+    import jax
+    import jax.numpy as jnp
+
+    from pnp_admm_cnc_mri_tpu.ops import fourier, prox as prox_mod
+
+    z0, it, meta = load_iterate_state(path, kind="hqs")
+    meta = meta or {}
+    alphas = meta.get("alphas")
+    if alphas is None:
+        raise ValueError(f"{path} has no embedded alphas ladder")
+    iter_num = iter_num if iter_num is not None else len(alphas)
+    clamp = meta.get("clamp", True)
+    z0 = jnp.asarray(z0)
+    alphas_j = jnp.asarray(np.asarray(alphas), z0.dtype)
+
+    def step(z, i):
+        x = fourier.data_consistency(z, y, mask, 1.0 / (2.0 * alphas_j[i]))
+        z_new = denoise(x.astype(z.dtype), i).astype(z.dtype)
+        return prox_mod.clip01(z_new) if clamp else z_new, None
+
+    final, _ = jax.lax.scan(step, z0, jnp.arange(it, max(iter_num, it)))
+    return final, meta
+
+
+def resume_red(path: str, y, mask, denoise, iter_num: Optional[int] = None):
+    """Continue a checkpointed RED run (``solvers.red.run_red``) to
+    ``iter_num`` total iterations with the embedded (lam, step, variant)."""
+    import jax
+    import jax.numpy as jnp
+
+    from pnp_admm_cnc_mri_tpu.ops import fourier, prox as prox_mod
+
+    x0, it, meta = load_iterate_state(path, kind="red")
+    meta = meta or {}
+    iter_num = iter_num if iter_num is not None else meta.get("iter_num")
+    if iter_num is None:
+        raise ValueError(f"{path} has no embedded iter_num; pass it")
+    lam = meta.get("lam", 0.2)
+    step_sz = meta.get("step", 1.0)
+    variant = meta.get("variant", "fp")
+    clamp = meta.get("clamp", True)
+    x0 = jnp.asarray(x0)
+    dtype = x0.dtype
+
+    def iteration(x, i):
+        g = jnp.real(fourier.data_term_gradient(x, y, mask)).astype(dtype)
+        dx = denoise(x, i).astype(dtype)
+        if variant == "gd":
+            x_new = x - step_sz * (g + lam * (x - dx))
+        else:
+            x_new = (x - step_sz * g + step_sz * lam * dx) / (1.0 + step_sz * lam)
+        return prox_mod.clip01(x_new) if clamp else x_new, None
+
+    final, _ = jax.lax.scan(iteration, x0, jnp.arange(it, max(iter_num, it)))
+    return final, meta
+
+
 def resume_fista(path: str, y, mask, prox_fn, iter_num: Optional[int] = None,
                  step: Optional[float] = None):
     """Continue a checkpointed FISTA run to ``iter_num`` total iterations

@@ -287,3 +287,57 @@ class TestFISTACheckpoint:
                                    np.asarray(full.x), atol=1e-12)
         np.testing.assert_allclose(float(resumed.t), float(full.t),
                                    rtol=1e-12)
+
+
+class TestIterateCheckpoints:
+    """HQS/RED single-iterate snapshots (save_iterate_state + resumes)."""
+
+    def _scenario(self, rng, n=24):
+        import jax.numpy as jnp
+
+        img = rng.random((n, n))
+        mask = (rng.random((n, n)) < 0.4).astype(np.float64)
+        y = jnp.asarray(np.fft.fft2(img) * mask, jnp.complex128)
+        return y, jnp.asarray(mask)
+
+    def test_hqs_resume_identical(self, rng, tmp_path):
+        import jax.numpy as jnp
+
+        from pnp_admm_cnc_mri_tpu.ops import schedules
+        from pnp_admm_cnc_mri_tpu.solvers import hqs
+        from pnp_admm_cnc_mri_tpu.utils import checkpoint as ckpt
+
+        y, mj = self._scenario(rng)
+        alphas, _ = schedules.get_rho_sigma(iter_num=12)
+        den = lambda u, i: jnp.clip(u, 0.05, 0.95)
+
+        full, _ = hqs.run_hqs(y, mj, 12, den, alphas, dtype=jnp.float64)
+        half, _ = hqs.run_hqs(y, mj, 5, den, alphas[:5], dtype=jnp.float64)
+        p = str(tmp_path / "hqs.npz")
+        ckpt.save_iterate_state(p, half, 5, kind="hqs",
+                                meta={"alphas": list(map(float, alphas))})
+        resumed, _ = ckpt.resume_hqs(p, y, mj, den)
+        np.testing.assert_allclose(np.asarray(resumed), np.asarray(full),
+                                   atol=1e-12)
+
+    def test_red_resume_identical_and_kind_guard(self, rng, tmp_path):
+        import jax.numpy as jnp
+        import pytest
+
+        from pnp_admm_cnc_mri_tpu.solvers import red
+        from pnp_admm_cnc_mri_tpu.utils import checkpoint as ckpt
+
+        y, mj = self._scenario(rng)
+        den = lambda u, i: jnp.clip(u, 0.05, 0.95)
+        kw = dict(lam=0.4, step=0.9, variant="fp")
+
+        full, _ = red.run_red(y, mj, 12, den, dtype=jnp.float64, **kw)
+        half, _ = red.run_red(y, mj, 5, den, dtype=jnp.float64, **kw)
+        p = str(tmp_path / "red.npz")
+        ckpt.save_iterate_state(p, half, 5, kind="red",
+                                meta={"iter_num": 12, **kw})
+        resumed, _ = ckpt.resume_red(p, y, mj, den)
+        np.testing.assert_allclose(np.asarray(resumed), np.asarray(full),
+                                   atol=1e-12)
+        with pytest.raises(ValueError, match="checkpoint"):
+            ckpt.resume_hqs(p, y, mj, den)
