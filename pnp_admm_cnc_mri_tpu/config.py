@@ -136,12 +136,13 @@ TUNED_FISTA_D = {
 # scale — DPIR's degradation-noise sigma knob), model_sigma1. Swept on
 # set1/Q_Random30 with the CLEAN weights.
 TUNED_HQS_D = {
-    "drunet_gray": dict(iter_num=30, nlm=8.0, sigma255=10.0),   # 31.32
+    "drunet_gray": dict(iter_num=30, nlm=8.0, sigma255=10.0, x8=True),  # 31.48 (31.32 no-x8)
     "ffdnet_gray": dict(iter_num=30, nlm=10.0, sigma255=5.0),   # 31.14
     "fdncnn_gray": dict(iter_num=30, nlm=10.0, sigma255=5.0),   # 31.05
     "ircnn_gray": dict(iter_num=30, nlm=8.0, sigma255=5.0),     # 31.20
     "dncnn_25": dict(iter_num=10, sigma255=1.0),                # 29.12
-    "bm3d": dict(iter_num=10, nlm=15.0, sigma255=5.0),          # (weight-free)
+    "bm3d": dict(iter_num=10, nlm=10.0, sigma255=10.0),         # 31.26 (weight-
+    # free — above the tuned ADMM BM3D pipelines and the FISTA bm3d 31.22)
 }
 
 # RED (solvers/red.py — explicit denoiser-built regularizer, fixed-point
