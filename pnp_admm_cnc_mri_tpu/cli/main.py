@@ -34,6 +34,7 @@ def build_parser() -> argparse.ArgumentParser:
             "consensus_l1",
             "consensus_d",
             "consensus_fista_d",
+            "consensus_hqs_d",
             "pnp_sr",
             "pnp_deblur",
             "fista_l1",
@@ -172,7 +173,8 @@ def main(argv=None) -> int:
     )
     dtype = jnp.float64 if args.f64 else jnp.float32
 
-    if args.algo in ("consensus_l1", "consensus_d", "consensus_fista_d"):
+    if args.algo in ("consensus_l1", "consensus_d", "consensus_fista_d",
+                     "consensus_hqs_d"):
         # Multi-mask joint reconstruction: one shared z across all three
         # reference masks (new capability; no reference counterpart).
         # consensus_d plugs a model-zoo denoiser into the consensus z-prox.
@@ -232,6 +234,46 @@ def main(argv=None) -> int:
                 z_prox = lambda v, i: jnp.clip(denoise(v, i), 0.0, 1.0)
             algo_tag = f"consensus_fista_{args.model}"
             base = cfg_mod.ADMM_L1_DEFAULT  # unused by the FISTA path
+        elif args.algo == "consensus_hqs_d":
+            # multi-mask HQS: EXACT joint k-space data solve + the DPIR
+            # ladder denoiser (parallel/consensus.run_consensus_hqs) —
+            # per-obs reductions happen once, outside the loop
+            from pnp_admm_cnc_mri_tpu.priors import denoiser as denoiser_mod
+
+            tuned = (cfg_mod.TUNED_CONSENSUS_HQS.get(args.model, {})
+                     if args.tuned else {})
+            hqs_iters = args.iter_num or tuned.get("iter_num", 30)
+            x8 = args.x8 or (not args.no_x8 and tuned.get("x8", False))
+            nlm = args.nlm if args.nlm is not None else tuned.get("nlm")
+            hqs_sigma255 = (args.noise_sigma if args.noise_sigma is not None
+                            else tuned.get("sigma255", 10.0))
+            hqs_ms1 = (args.model_sigma1 if args.model_sigma1 is not None
+                       else tuned.get("model_sigma1", 49.0))
+            hqs_ms2 = nlm if nlm is not None else 15.0
+            if args.model == "bm3d":
+                from pnp_admm_cnc_mri_tpu.ops import schedules as schedules_mod
+                from pnp_admm_cnc_mri_tpu.priors import bm3d_prior
+
+                _warn_bm3d_ignored(args)
+                _, sigmas = schedules_mod.get_rho_sigma(
+                    sigma=hqs_sigma255 / 255.0, iter_num=hqs_iters,
+                    model_sigma1=hqs_ms1, model_sigma2=hqs_ms2)
+                denoise = bm3d_prior.make_bm3d_ladder_denoiser(sigmas)
+            else:
+                denoise = denoiser_mod.build_denoiser(
+                    args.model,
+                    weights=denoiser_mod.resolve_weights(
+                        args.model, args.weights, clean=args.clean),
+                    iter_num=hqs_iters, x8=x8,
+                    compute_dtype=jnp.bfloat16 if args.bf16 else None,
+                    noise_level_model=denoiser_mod.nlm_for_model(args.model,
+                                                                 nlm),
+                    model_sigma1=hqs_ms1,
+                )
+            z_prox = denoise  # clamped inside run_consensus_hqs
+            fista_iters = hqs_iters
+            algo_tag = f"consensus_hqs_{args.model}"
+            base = cfg_mod.ADMM_L1_DEFAULT  # unused by the HQS path
         elif args.algo == "consensus_d":
             from pnp_admm_cnc_mri_tpu.priors import denoiser as denoiser_mod
 
@@ -278,6 +320,13 @@ def main(argv=None) -> int:
                     # consensus z_prox is (v, i); fista prox_fn is (i, u)
                     lambda i, u: z_prox(u, i),
                     step=args.step, dtype=dtp,
+                )
+            elif args.algo == "consensus_hqs_d":
+                z = consensus.run_consensus_hqs(
+                    _device_complex(ys, cdt, dtp),
+                    jnp.asarray(all_masks, dtp), hqs_iters, denoise,
+                    sigma255=hqs_sigma255, model_sigma1=hqs_ms1,
+                    model_sigma2=hqs_ms2, dtype=dtp,
                 )
             else:
                 z, _ = consensus.run_consensus(

@@ -173,6 +173,20 @@ TUNED_CONSENSUS_FISTA = {
     "bm3d": dict(iter_num=10, nlm=15.0),          # 32.14 (weight-free)
 }
 
+# Multi-mask consensus HQS (parallel/consensus.run_consensus_hqs — EXACT
+# joint k-space data solve, per-obs reductions hoisted out of the loop):
+# swept on set1 across all three reference masks jointly, CLEAN weights.
+# Keys as TUNED_HQS_D (nlm = ladder endpoint, sigma255 = alpha-ladder
+# scale).
+TUNED_CONSENSUS_HQS = {
+    "drunet_gray": dict(iter_num=30, nlm=8.0, sigma255=10.0, x8=True),
+    "ffdnet_gray": dict(iter_num=30, nlm=10.0, sigma255=5.0),
+    "fdncnn_gray": dict(iter_num=30, nlm=10.0, sigma255=5.0),
+    "ircnn_gray": dict(iter_num=30, nlm=8.0, sigma255=5.0),
+    "dncnn_25": dict(iter_num=10, sigma255=1.0),
+    "bm3d": dict(iter_num=10, nlm=10.0, sigma255=10.0),
+}
+
 # Leakage-free (clean-corpus) tuned settings: swept for the
 # model_zoo/<name>_clean.npz weights (train/corpus.py; round-2). Selected
 # by the CLI's --clean --tuned combination; entries absent here fall back

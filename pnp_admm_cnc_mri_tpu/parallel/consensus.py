@@ -163,6 +163,126 @@ def run_consensus_fista(
     return state.x
 
 
+def run_consensus_hqs(
+    ys: jnp.ndarray,
+    masks: jnp.ndarray,
+    iter_num: int,
+    denoise: Callable,
+    sigma255: float = 10.0,
+    model_sigma1: float = 49.0,
+    model_sigma2: float = 15.0,
+    clamp: bool = True,
+    dtype=jnp.float32,
+):
+    """Multi-observation HQS: ONE iterate, an EXACT joint data solve.
+
+    The HQS x-subproblem over N masked-FFT observations,
+
+        argmin_x  sum_i ||M_i F x - y_i||^2 + alpha_k ||x - z_k||^2,
+
+    stays diagonal in k-space — per frequency ``k`` with sampling count
+    ``c(k) = sum_i m_i(k)`` and summed data ``S(k) = sum_i m_i y_i(k)``:
+
+        Xf(k) = (S(k) + alpha_k Zf(k)) / (c(k) + alpha_k),
+
+    which reduces exactly to the single-mask ladder solve of
+    ``solvers.hqs.run_hqs`` at ``c = 1`` (reference convention
+    ``【1】ADMM_L1.py:115-120`` with ``La2 = alpha``) and to ``Zf`` at
+    uncovered frequencies. Unlike consensus-ADMM (per-obs duals + pmean
+    every iteration) or consensus-FISTA (fused-gradient psum every
+    iteration), the joint quadratic here is solved EXACTLY with no
+    per-observation state at all — ``S`` and ``c`` are reductions computed
+    ONCE, so the sharded variant needs a single setup ``psum`` and the
+    iteration loop is collective-free.
+
+    ``denoise(u, i)`` as everywhere; the ``get_rho_sigma`` ladder
+    (reference ``utils/utils_pnp.py:14``) drives ``alpha_k`` and should
+    also condition the denoiser (build it with the same ladder params).
+    ys/masks: (N, H, W) observations of one image.
+    """
+    from pnp_admm_cnc_mri_tpu.ops import schedules
+
+    m = (masks != 0).astype(ys.real.dtype)
+    cnt = jnp.sum(m, axis=0)
+    S = jnp.sum(jnp.where(m != 0, ys, 0.0), axis=0)
+
+    alphas, _sigmas = schedules.get_rho_sigma(
+        sigma=sigma255 / 255.0, iter_num=iter_num,
+        model_sigma1=model_sigma1, model_sigma2=model_sigma2)
+    alphas = jnp.asarray(alphas, dtype)
+
+    # union-averaged zero-fill init: |ifft2(S / c)| — at N=1 this is the
+    # reference's |ifft2(y)| on the masked observation, so the solver
+    # reduces EXACTLY to solvers.hqs.run_hqs (tests/test_consensus.py)
+    z0 = jnp.abs(fourier.ifft2(S / jnp.maximum(cnt, 1.0))).astype(dtype)
+
+    def step(z, inp):
+        i, alpha = inp
+        zf = fourier.fft2(z)
+        xf = (S + alpha * zf) / (cnt + alpha)
+        x = jnp.abs(jnp.real(fourier.ifft2(xf))).astype(dtype)
+        z_new = denoise(x, i).astype(dtype)
+        if clamp:
+            z_new = prox.clip01(z_new)
+        return z_new, None
+
+    z, _ = jax.lax.scan(step, z0, (jnp.arange(iter_num), alphas))
+    return z
+
+
+def run_consensus_hqs_sharded(
+    ys: jnp.ndarray,
+    masks: jnp.ndarray,
+    iter_num: int,
+    denoise: Callable,
+    mesh: Mesh,
+    axis: str = "data",
+    sigma255: float = 10.0,
+    model_sigma1: float = 49.0,
+    model_sigma2: float = 15.0,
+    clamp: bool = True,
+    dtype=jnp.float32,
+):
+    """shard_map version of :func:`run_consensus_hqs`: each device owns a
+    slice of the observations, the summed k-space data ``S`` and sampling
+    count ``c`` are ``lax.psum``'d ONCE at setup, and the iteration loop
+    runs replicated with zero per-iteration collectives — the cheapest
+    collective budget of the three consensus families."""
+    from pnp_admm_cnc_mri_tpu.ops import schedules
+
+    alphas, _sigmas = schedules.get_rho_sigma(
+        sigma=sigma255 / 255.0, iter_num=iter_num,
+        model_sigma1=model_sigma1, model_sigma2=model_sigma2)
+
+    def local_solve(ys_l, masks_l):
+        m_l = (masks_l != 0).astype(ys_l.real.dtype)
+        cnt = jax.lax.psum(jnp.sum(m_l, axis=0), axis)
+        ysz = jnp.where(m_l != 0, ys_l, 0.0)
+        S = jax.lax.psum(jnp.sum(ysz, axis=0), axis)
+        z0 = jnp.abs(fourier.ifft2(S / jnp.maximum(cnt, 1.0))).astype(dtype)
+        al = jnp.asarray(alphas, dtype)
+
+        def step(z, inp):
+            i, alpha = inp
+            zf = fourier.fft2(z)
+            xf = (S + alpha * zf) / (cnt + alpha)
+            x = jnp.abs(jnp.real(fourier.ifft2(xf))).astype(dtype)
+            z_new = denoise(x, i).astype(dtype)
+            if clamp:
+                z_new = prox.clip01(z_new)
+            return z_new, None
+
+        z, _ = jax.lax.scan(step, z0, (jnp.arange(iter_num), al))
+        return z
+
+    f = jax.shard_map(
+        local_solve, mesh=mesh, in_specs=(P(axis), P(axis)), out_specs=P()
+    )
+    ys_d = jax.device_put(ys, NamedSharding(mesh, P(axis)))
+    masks_d = jax.device_put(masks, NamedSharding(mesh, P(axis)))
+    return f(ys_d, masks_d)
+
+
 def run_consensus_fista_sharded(
     ys: jnp.ndarray,
     masks: jnp.ndarray,

@@ -153,3 +153,124 @@ class TestConsensusFISTA:
                 jnp.asarray(masks[i], jnp.float32), 40, prox_fn)
             errs.append(float(jnp.linalg.norm(st.x - img) / np.linalg.norm(img)))
         assert err_c < np.mean(errs)
+
+
+class TestConsensusHQS:
+    """Multi-mask HQS: exact joint data solve + single setup reduction."""
+
+    def test_sharded_matches_batched(self, rng):
+        if len(jax.devices()) < 4:
+            pytest.skip("needs 4 devices")
+        from pnp_admm_cnc_mri_tpu.ops import prox as prox_mod
+
+        img, masks, ys = _multi_mask_scenario(rng, n_obs=8)
+        denoise = lambda u, i: prox_mod.soft(u, 2e-3)
+        kw = dict(iter_num=12, denoise=denoise, sigma255=10.0)
+        z_b = consensus.run_consensus_hqs(
+            jnp.asarray(ys, jnp.complex64), jnp.asarray(masks, jnp.float32),
+            **kw)
+        mesh = mesh_lib.make_mesh(n_data=4, devices=jax.devices()[:4])
+        z_s = consensus.run_consensus_hqs_sharded(
+            jnp.asarray(ys, jnp.complex64), jnp.asarray(masks, jnp.float32),
+            mesh=mesh, **kw)
+        np.testing.assert_allclose(np.asarray(z_s), np.asarray(z_b),
+                                   rtol=2e-5, atol=1e-6)
+
+    def test_single_obs_reduces_to_hqs(self, rng):
+        """N=1 must be EXACTLY the single-mask ladder solve of
+        solvers.hqs.pnp_hqs (same reference convention La2 = alpha,
+        【1】ADMM_L1.py:115-120)."""
+        from pnp_admm_cnc_mri_tpu.ops import prox as prox_mod
+        from pnp_admm_cnc_mri_tpu.solvers import hqs
+
+        img, masks, ys = _multi_mask_scenario(rng, n_obs=1)
+        denoise = lambda u, i: prox_mod.soft(u, 2e-3)
+        kw = dict(iter_num=10, denoise=denoise, sigma255=12.0,
+                  model_sigma1=40.0, model_sigma2=10.0)
+        z_c = consensus.run_consensus_hqs(
+            jnp.asarray(ys, jnp.complex64), jnp.asarray(masks, jnp.float32),
+            **kw)
+        # consensus reads observations only at sampled frequencies (its
+        # init is |ifft2(S/c)|), so the single-mask equivalent runs on
+        # the masked observation
+        z_h, _ = hqs.pnp_hqs(
+            jnp.asarray(ys[0] * masks[0], jnp.complex64),
+            jnp.asarray(masks[0], jnp.float32), **kw)
+        np.testing.assert_allclose(np.asarray(z_c), np.asarray(z_h),
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_identical_masks_equal_averaged_single(self, rng):
+        """N copies of the SAME mask with different noises must equal the
+        single-mask run on the averaged observation with the alpha ladder
+        scaled by 1/N — the closed-form (S + a Zf)/(N + a) identity."""
+        from pnp_admm_cnc_mri_tpu.ops import prox as prox_mod, schedules
+        from pnp_admm_cnc_mri_tpu.solvers import hqs
+
+        n_obs, it = 3, 8
+        img, _, _ = _multi_mask_scenario(rng)
+        n = img.shape[0]
+        mask = (rng.random((n, n)) < 0.3).astype(np.float64)
+        noises = 0.2 * (rng.normal(size=(n_obs, n, n))
+                        + 1j * rng.normal(size=(n_obs, n, n)))
+        ys = np.fft.fft2(img[None], axes=(-2, -1)) * mask[None] + noises
+        denoise = lambda u, i: prox_mod.soft(u, 2e-3)
+
+        z_c = consensus.run_consensus_hqs(
+            jnp.asarray(ys, jnp.complex64),
+            jnp.asarray(np.broadcast_to(mask, ys.shape), jnp.float32),
+            it, denoise, sigma255=10.0)
+        alphas, _ = schedules.get_rho_sigma(
+            sigma=10.0 / 255.0, iter_num=it,
+            model_sigma1=49.0, model_sigma2=15.0)  # run_consensus_hqs defaults
+        y_bar = jnp.asarray(ys.mean(axis=0) * mask, jnp.complex64)
+        z_h, _ = hqs.run_hqs(
+            y_bar, jnp.asarray(mask, jnp.float32), it, denoise,
+            np.asarray(alphas) / n_obs)
+        np.testing.assert_allclose(np.asarray(z_c), np.asarray(z_h),
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_joint_solve_is_exact(self, rng):
+        """The per-frequency closed form must zero the gradient of the
+        joint HQS x-objective (independent optimality check via
+        jax.grad, not a formula replication)."""
+        img, masks, ys = _multi_mask_scenario(rng, n_obs=4)
+        ys_j = jnp.asarray(ys, jnp.complex64)
+        m = jnp.asarray((masks != 0), jnp.float32)
+        z = jnp.asarray(rng.random(img.shape), jnp.float32)
+        alpha = 0.37
+        nn = img.size
+
+        cnt = jnp.sum(m, axis=0)
+        S = jnp.sum(jnp.where(m != 0, ys_j, 0.0), axis=0)
+        zf = jnp.fft.fft2(z)
+        xf = (S + alpha * zf) / (cnt + alpha)
+
+        def objective(xf_ri):
+            x_c = xf_ri[0] + 1j * xf_ri[1]
+            data = sum(
+                jnp.sum(jnp.abs(m[i] * x_c - jnp.where(m[i] != 0, ys_j[i], 0.0)) ** 2)
+                for i in range(m.shape[0]))
+            return (data + alpha * jnp.sum(jnp.abs(x_c - zf) ** 2)) / nn
+
+        g = jax.grad(objective)(jnp.stack([jnp.real(xf), jnp.imag(xf)]))
+        np.testing.assert_allclose(np.asarray(g), 0.0, atol=1e-4)
+
+    def test_fusion_beats_single_mask_hqs(self, rng):
+        """4 x 25% masks fused must beat the average single-mask HQS."""
+        from pnp_admm_cnc_mri_tpu.ops import prox as prox_mod
+        from pnp_admm_cnc_mri_tpu.solvers import hqs
+
+        img, masks, ys = _multi_mask_scenario(rng, n_obs=4)
+        denoise = lambda u, i: prox_mod.soft(u, 2e-3)
+        kw = dict(iter_num=30, denoise=denoise, sigma255=10.0)
+        z = consensus.run_consensus_hqs(
+            jnp.asarray(ys, jnp.complex64), jnp.asarray(masks, jnp.float32),
+            **kw)
+        err_c = float(jnp.linalg.norm(z - img) / np.linalg.norm(img))
+        errs = []
+        for i in range(4):
+            zi, _ = hqs.pnp_hqs(
+                jnp.asarray(ys[i], jnp.complex64),
+                jnp.asarray(masks[i], jnp.float32), **kw)
+            errs.append(float(jnp.linalg.norm(zi - img) / np.linalg.norm(img)))
+        assert err_c < np.mean(errs)
