@@ -176,6 +176,15 @@ def main(argv=None) -> int:
     ips, dt = timed(lambda: fn(y_cons, masks_c), args.iter_num, n_obs)
     record("consensus_fista_l1_4obs", ips, dt, {"batch": n_obs})
 
+    # consensus-HQS (exact joint data solve, setup-only reductions, L1 prox)
+    fn = jax.jit(
+        lambda ys, ms: cons.run_consensus_hqs(
+            ys, ms, args.iter_num,
+            lambda u, i: prox_mod.soft(u, 5e-3)).mean()
+    )
+    ips, dt = timed(lambda: fn(y_cons, masks_c), args.iter_num, n_obs)
+    record("consensus_hqs_l1_4obs", ips, dt, {"batch": n_obs})
+
     if not args.skip_bm3d:
         den_b = bm3d_prior.make_bm3d_denoiser()
         cfg_b = ADMMConfig(iter_num=5, rho=0.8)

@@ -169,7 +169,8 @@ class TestCleanWeights:
                 assert name in reg, (name, reg)
         # FISTA/HQS registries: all five families + the weight-free bm3d prox
         for reg in (cfg.TUNED_FISTA_D, cfg.TUNED_CONSENSUS_FISTA,
-                    cfg.TUNED_HQS_D, cfg.TUNED_RED_D):
+                    cfg.TUNED_HQS_D, cfg.TUNED_RED_D,
+                    cfg.TUNED_CONSENSUS_HQS):
             for name in ("drunet_gray", "ffdnet_gray", "fdncnn_gray",
                          "ircnn_gray", "dncnn_25", "bm3d"):
                 assert name in reg, (name, reg)
