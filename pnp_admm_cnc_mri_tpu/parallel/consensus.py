@@ -173,6 +173,7 @@ def run_consensus_hqs(
     model_sigma2: float = 15.0,
     clamp: bool = True,
     dtype=jnp.float32,
+    alphas=None,
 ):
     """Multi-observation HQS: ONE iterate, an EXACT joint data solve.
 
@@ -198,7 +199,9 @@ def run_consensus_hqs(
     ``denoise(u, i)`` as everywhere; the ``get_rho_sigma`` ladder
     (reference ``utils/utils_pnp.py:14``) drives ``alpha_k`` and should
     also condition the denoiser (build it with the same ladder params).
-    ys/masks: (N, H, W) observations of one image.
+    ``alphas`` overrides the built ladder (length must equal
+    ``iter_num``; used by checkpoint/resume). ys/masks: (N, H, W)
+    observations of one image.
     """
     from pnp_admm_cnc_mri_tpu.ops import schedules
 
@@ -206,9 +209,10 @@ def run_consensus_hqs(
     cnt = jnp.sum(m, axis=0)
     S = jnp.sum(jnp.where(m != 0, ys, 0.0), axis=0)
 
-    alphas, _sigmas = schedules.get_rho_sigma(
-        sigma=sigma255 / 255.0, iter_num=iter_num,
-        model_sigma1=model_sigma1, model_sigma2=model_sigma2)
+    if alphas is None:
+        alphas, _sigmas = schedules.get_rho_sigma(
+            sigma=sigma255 / 255.0, iter_num=iter_num,
+            model_sigma1=model_sigma1, model_sigma2=model_sigma2)
     alphas = jnp.asarray(alphas, dtype)
 
     # union-averaged zero-fill init: |ifft2(S / c)| — at N=1 this is the

@@ -174,6 +174,45 @@ def resume_hqs(path: str, y, mask, denoise, iter_num: Optional[int] = None):
     return final, meta
 
 
+def resume_consensus_hqs(path: str, ys, masks, denoise,
+                         iter_num: Optional[int] = None):
+    """Continue a checkpointed consensus-HQS run
+    (``parallel.consensus.run_consensus_hqs``) to ``iter_num`` total
+    iterations. The summed k-space data ``S`` and sampling count ``c``
+    are recomputed from ``ys``/``masks`` (they are pure reductions of
+    the inputs); the alphas ladder comes from the embedded meta, so the
+    resumed run walks exactly the remaining rungs — numerically
+    identical to an uninterrupted run."""
+    import jax
+    import jax.numpy as jnp
+
+    from pnp_admm_cnc_mri_tpu.ops import fourier, prox as prox_mod
+
+    z0, it, meta = load_iterate_state(path, kind="consensus_hqs")
+    meta = meta or {}
+    alphas = meta.get("alphas")
+    if alphas is None:
+        raise ValueError(f"{path} has no embedded alphas ladder")
+    iter_num = iter_num if iter_num is not None else len(alphas)
+    clamp = meta.get("clamp", True)
+    z0 = jnp.asarray(z0)
+    alphas_j = jnp.asarray(np.asarray(alphas), z0.dtype)
+
+    m = (jnp.asarray(masks) != 0).astype(jnp.asarray(ys).real.dtype)
+    cnt = jnp.sum(m, axis=0)
+    S = jnp.sum(jnp.where(m != 0, jnp.asarray(ys), 0.0), axis=0)
+
+    def step(z, i):
+        zf = fourier.fft2(z)
+        xf = (S + alphas_j[i] * zf) / (cnt + alphas_j[i])
+        x = jnp.abs(jnp.real(fourier.ifft2(xf))).astype(z.dtype)
+        z_new = denoise(x, i).astype(z.dtype)
+        return prox_mod.clip01(z_new) if clamp else z_new, None
+
+    final, _ = jax.lax.scan(step, z0, jnp.arange(it, max(iter_num, it)))
+    return final, meta
+
+
 def resume_red(path: str, y, mask, denoise, iter_num: Optional[int] = None):
     """Continue a checkpointed RED run (``solvers.red.run_red``) to
     ``iter_num`` total iterations with the embedded (lam, step, variant)."""

@@ -341,3 +341,31 @@ class TestIterateCheckpoints:
                                    atol=1e-12)
         with pytest.raises(ValueError, match="checkpoint"):
             ckpt.resume_hqs(p, y, mj, den)
+
+    def test_consensus_hqs_resume_identical(self, rng, tmp_path):
+        import jax.numpy as jnp
+
+        from pnp_admm_cnc_mri_tpu.ops import schedules
+        from pnp_admm_cnc_mri_tpu.parallel import consensus
+        from pnp_admm_cnc_mri_tpu.utils import checkpoint as ckpt
+
+        n = 24
+        img = rng.random((n, n))
+        masks = np.stack([(rng.random((n, n)) < 0.3).astype(np.float64)
+                          for _ in range(3)])
+        ys = jnp.asarray(np.fft.fft2(img[None], axes=(-2, -1)) * masks,
+                         jnp.complex128)
+        mj = jnp.asarray(masks)
+        alphas, _ = schedules.get_rho_sigma(iter_num=12)
+        den = lambda u, i: jnp.clip(u, 0.05, 0.95)
+
+        full = consensus.run_consensus_hqs(
+            ys, mj, 12, den, dtype=jnp.float64, alphas=alphas)
+        half = consensus.run_consensus_hqs(
+            ys, mj, 5, den, dtype=jnp.float64, alphas=alphas[:5])
+        p = str(tmp_path / "chqs.npz")
+        ckpt.save_iterate_state(p, half, 5, kind="consensus_hqs",
+                                meta={"alphas": list(map(float, alphas))})
+        resumed, _ = ckpt.resume_consensus_hqs(p, ys, mj, den)
+        np.testing.assert_allclose(np.asarray(resumed), np.asarray(full),
+                                   atol=1e-12)
