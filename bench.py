@@ -180,14 +180,24 @@ def main() -> None:
         print(_measure(batch, "--cpu" in sys.argv))
         return
 
-    attempts = [
-        (512, False, 480),
-        (256, False, 420),
-        (128, False, 300),
-        (64, False, 240),
-        (256, True, 600),  # CPU fallback when the TPU tunnel is down
-    ]
-    for batch, cpu, budget in attempts:
+    # The axon tunnel has hour-scale outages but also transient minute-scale
+    # blips (r02's official record caught a blip and fell back to CPU, hiding
+    # a 528x TPU number behind a 5.31x one). Retry the TPU ladder up to
+    # TPU_ROUNDS times, sleeping between rounds, before conceding to CPU.
+    TPU_ROUNDS = 3
+    RETRY_SLEEP_S = 120
+    tpu_ladder = [(512, 480), (256, 420), (128, 300), (64, 240)]
+    attempts = []
+    for rnd in range(TPU_ROUNDS):
+        attempts.extend((b, False, t, rnd) for b, t in tpu_ladder)
+    attempts.append((256, True, 600, TPU_ROUNDS - 1))  # CPU fallback, last resort
+    prev_round = 0
+    for batch, cpu, budget, rnd in attempts:
+        if rnd != prev_round:
+            print(f"# tpu attempt round {rnd} failed; sleeping {RETRY_SLEEP_S}s "
+                  f"before retry", file=sys.stderr)
+            time.sleep(RETRY_SLEEP_S)
+            prev_round = rnd
         ips, latency_ms = _measure_subprocess(batch, cpu, budget)
         if ips is not None and ips > 0:
             backend = "cpu-fallback" if cpu else "tpu"

@@ -270,7 +270,8 @@ def main(argv=None) -> int:
                                                                  nlm),
                     model_sigma1=hqs_ms1,
                 )
-            z_prox = denoise  # clamped inside run_consensus_hqs
+            # z_prox stays None: run_consensus_hqs takes `denoise` directly
+            # (and clamps internally).
             fista_iters = hqs_iters
             algo_tag = f"consensus_hqs_{args.model}"
             base = cfg_mod.ADMM_L1_DEFAULT  # unused by the HQS path

@@ -26,6 +26,17 @@ from pnp_admm_cnc_mri_tpu.config import ADMMConfig
 from pnp_admm_cnc_mri_tpu.ops import fourier, prox
 
 
+def consensus_admm_step(z, w, dc, z_prox, i, dtype):
+    """One batched consensus-ADMM iteration (shared by ``run_consensus``
+    and ``utils.checkpoint.resume_consensus_admm`` so resume semantics
+    cannot desynchronize from the solver)."""
+    x = dc(z[None] - w).astype(dtype)
+    v = jnp.mean(x + w, axis=0)
+    z_new = z_prox(v, i)
+    w_new = w + x - z_new[None]
+    return z_new, w_new
+
+
 def run_consensus(
     ys: jnp.ndarray,
     masks: jnp.ndarray,
@@ -33,9 +44,12 @@ def run_consensus(
     z_prox: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray] | None = None,
     dtype=jnp.float32,
     dc_method: str = "auto",
+    return_state: bool = False,
 ):
     """Batched consensus solve: ``ys``/``masks`` have a leading axis of N
-    observations of the same image. Returns (z, per-obs x).
+    observations of the same image. Returns (z, per-obs x), or
+    (z, x, w) with ``return_state=True`` (the per-observation duals —
+    what ``utils.checkpoint.save_consensus_state`` snapshots).
 
     ``z_prox(v, i)`` defaults to the L1 soft-threshold with cfg.rho*cfg.lam.
     ``dc_method`` as in ``solvers.admm.run_admm``: 'auto' picks the MXU
@@ -53,14 +67,12 @@ def run_consensus(
 
     def step(carry, i):
         z, w = carry
-        x = dc(z[None] - w).astype(dtype)
-        v = jnp.mean(x + w, axis=0)
-        z_new = z_prox(v, i)
-        w_new = w + x - z_new[None]
-        return (z_new, w_new), None
+        return consensus_admm_step(z, w, dc, z_prox, i, dtype), None
 
     (z, w), _ = jax.lax.scan(step, (z0, w0), jnp.arange(cfg.iter_num))
     x = dc(z[None] - w).astype(dtype)
+    if return_state:
+        return z, x, w
     return z, x
 
 
@@ -112,6 +124,32 @@ def run_consensus_sharded(
     return f(ys_d, masks_d)
 
 
+def consensus_fista_iteration(state, i, m, ysz, cnt, prox_fn, step, dtype):
+    """One batched consensus-FISTA iteration (shared by
+    ``run_consensus_fista`` and ``utils.checkpoint.resume_consensus_fista``
+    so resume semantics cannot desynchronize from the solver)."""
+    from pnp_admm_cnc_mri_tpu.solvers import fista as fista_mod
+
+    vf = fourier.fft2(state.v)
+    res = jnp.sum(m * vf[None] - ysz * m, axis=0) / cnt
+    g = jnp.real(fourier.ifft2(res)).astype(dtype)
+    x_new = prox_fn(i, state.v - step * g).astype(dtype)
+    t_new, v_new = fista_mod.fista_extrapolate(state.x, x_new, state.t)
+    return fista_mod.FISTAState(x=x_new, v=v_new, t=t_new)
+
+
+def consensus_fista_setup(ys, masks, precondition: bool):
+    """Precompute the (mask indicator, zeroed data, per-frequency count)
+    triple consumed by :func:`consensus_fista_iteration`."""
+    m = (masks != 0).astype(ys.real.dtype)
+    if precondition:
+        cnt = jnp.maximum(jnp.sum(m, axis=0), 1.0)
+    else:
+        cnt = jnp.asarray(float(masks.shape[0]), ys.real.dtype)
+    ysz = jnp.where(m != 0, ys, 0.0)
+    return m, ysz, cnt
+
+
 def run_consensus_fista(
     ys: jnp.ndarray,
     masks: jnp.ndarray,
@@ -120,6 +158,7 @@ def run_consensus_fista(
     step: float = 1.0,
     dtype=jnp.float32,
     precondition: bool = True,
+    return_state: bool = False,
 ):
     """Multi-observation FISTA: ONE iterate, a fused gradient over all
     observations.
@@ -137,30 +176,41 @@ def run_consensus_fista(
     center, where the mean operator's norm is 1.
 
     ``prox_fn(i, u) -> u`` as in ``solvers.fista.run_fista``.
-    ys/masks: (N, H, W) observations of one image.
+    ys/masks: (N, H, W) observations of one image. With
+    ``return_state=True`` the full ``FISTAState`` (x, v, momentum t) is
+    returned instead of just x — what
+    ``utils.checkpoint.save_consensus_fista`` snapshots.
     """
     from pnp_admm_cnc_mri_tpu.solvers import fista as fista_mod
 
-    m = (masks != 0).astype(ys.real.dtype)
-    if precondition:
-        cnt = jnp.maximum(jnp.sum(m, axis=0), 1.0)
-    else:
-        cnt = jnp.asarray(float(masks.shape[0]), ys.real.dtype)
-    ysz = jnp.where(m != 0, ys, 0.0)
+    m, ysz, cnt = consensus_fista_setup(ys, masks, precondition)
 
     x0 = jnp.mean(jnp.abs(fourier.zero_fill(ysz)), axis=0).astype(dtype)
     state = fista_mod.FISTAState(x=x0, v=x0, t=jnp.asarray(1.0, dtype))
 
     def iteration(state, i):
-        vf = fourier.fft2(state.v)
-        res = jnp.sum(m * vf[None] - ysz * m, axis=0) / cnt
-        g = jnp.real(fourier.ifft2(res)).astype(dtype)
-        x_new = prox_fn(i, state.v - step * g).astype(dtype)
-        t_new, v_new = fista_mod.fista_extrapolate(state.x, x_new, state.t)
-        return fista_mod.FISTAState(x=x_new, v=v_new, t=t_new), None
+        return consensus_fista_iteration(
+            state, i, m, ysz, cnt, prox_fn, step, dtype), None
 
     state, _ = jax.lax.scan(iteration, state, jnp.arange(iter_num))
+    if return_state:
+        return state
     return state.x
+
+
+def consensus_hqs_step(z, i, alpha, S, cnt, denoise, clamp, dtype):
+    """One consensus-HQS iteration given the one-time reductions ``S``
+    (summed masked k-space data) and ``cnt`` (per-frequency sampling
+    count). Shared by ``run_consensus_hqs``, ``run_consensus_hqs_sharded``
+    and ``utils.checkpoint.resume_consensus_hqs`` so resume semantics
+    cannot desynchronize from the solver."""
+    zf = fourier.fft2(z)
+    xf = (S + alpha * zf) / (cnt + alpha)
+    x = jnp.abs(jnp.real(fourier.ifft2(xf))).astype(dtype)
+    z_new = denoise(x, i).astype(dtype)
+    if clamp:
+        z_new = prox.clip01(z_new)
+    return z_new
 
 
 def run_consensus_hqs(
@@ -222,13 +272,7 @@ def run_consensus_hqs(
 
     def step(z, inp):
         i, alpha = inp
-        zf = fourier.fft2(z)
-        xf = (S + alpha * zf) / (cnt + alpha)
-        x = jnp.abs(jnp.real(fourier.ifft2(xf))).astype(dtype)
-        z_new = denoise(x, i).astype(dtype)
-        if clamp:
-            z_new = prox.clip01(z_new)
-        return z_new, None
+        return consensus_hqs_step(z, i, alpha, S, cnt, denoise, clamp, dtype), None
 
     z, _ = jax.lax.scan(step, z0, (jnp.arange(iter_num), alphas))
     return z
@@ -246,17 +290,22 @@ def run_consensus_hqs_sharded(
     model_sigma2: float = 15.0,
     clamp: bool = True,
     dtype=jnp.float32,
+    alphas=None,
 ):
     """shard_map version of :func:`run_consensus_hqs`: each device owns a
     slice of the observations, the summed k-space data ``S`` and sampling
     count ``c`` are ``lax.psum``'d ONCE at setup, and the iteration loop
     runs replicated with zero per-iteration collectives — the cheapest
-    collective budget of the three consensus families."""
+    collective budget of the three consensus families.
+
+    ``alphas`` overrides the built ladder exactly as in the batched
+    variant (length must equal ``iter_num``; used by checkpoint/resume)."""
     from pnp_admm_cnc_mri_tpu.ops import schedules
 
-    alphas, _sigmas = schedules.get_rho_sigma(
-        sigma=sigma255 / 255.0, iter_num=iter_num,
-        model_sigma1=model_sigma1, model_sigma2=model_sigma2)
+    if alphas is None:
+        alphas, _sigmas = schedules.get_rho_sigma(
+            sigma=sigma255 / 255.0, iter_num=iter_num,
+            model_sigma1=model_sigma1, model_sigma2=model_sigma2)
 
     def local_solve(ys_l, masks_l):
         m_l = (masks_l != 0).astype(ys_l.real.dtype)
@@ -268,13 +317,8 @@ def run_consensus_hqs_sharded(
 
         def step(z, inp):
             i, alpha = inp
-            zf = fourier.fft2(z)
-            xf = (S + alpha * zf) / (cnt + alpha)
-            x = jnp.abs(jnp.real(fourier.ifft2(xf))).astype(dtype)
-            z_new = denoise(x, i).astype(dtype)
-            if clamp:
-                z_new = prox.clip01(z_new)
-            return z_new, None
+            return consensus_hqs_step(
+                z, i, alpha, S, cnt, denoise, clamp, dtype), None
 
         z, _ = jax.lax.scan(step, z0, (jnp.arange(iter_num), al))
         return z

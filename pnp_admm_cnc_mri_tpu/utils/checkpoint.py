@@ -174,19 +174,44 @@ def resume_hqs(path: str, y, mask, denoise, iter_num: Optional[int] = None):
     return final, meta
 
 
+def save_hqs(path: str, z, iteration: int, alphas, clamp: bool = True,
+             meta: Optional[dict] = None) -> None:
+    """Snapshot an HQS run (``solvers.hqs.run_hqs``): records the alphas
+    ladder AND the clamp flag automatically so a clamp=False run resumes
+    with clamp=False (``resume_hqs`` defaults clamp=True when absent)."""
+    m = dict(meta or {})
+    m["alphas"] = [float(a) for a in np.asarray(alphas)]
+    m["clamp"] = bool(clamp)
+    save_iterate_state(path, z, iteration, kind="hqs", meta=m)
+
+
+def save_consensus_hqs(path: str, z, iteration: int, alphas,
+                       clamp: bool = True,
+                       meta: Optional[dict] = None) -> None:
+    """Snapshot a consensus-HQS run
+    (``parallel.consensus.run_consensus_hqs``): records alphas + clamp
+    automatically (see :func:`save_hqs`)."""
+    m = dict(meta or {})
+    m["alphas"] = [float(a) for a in np.asarray(alphas)]
+    m["clamp"] = bool(clamp)
+    save_iterate_state(path, z, iteration, kind="consensus_hqs", meta=m)
+
+
 def resume_consensus_hqs(path: str, ys, masks, denoise,
                          iter_num: Optional[int] = None):
     """Continue a checkpointed consensus-HQS run
     (``parallel.consensus.run_consensus_hqs``) to ``iter_num`` total
     iterations. The summed k-space data ``S`` and sampling count ``c``
     are recomputed from ``ys``/``masks`` (they are pure reductions of
-    the inputs); the alphas ladder comes from the embedded meta, so the
-    resumed run walks exactly the remaining rungs — numerically
-    identical to an uninterrupted run."""
+    the inputs); the alphas ladder + clamp flag come from the embedded
+    meta (use :func:`save_consensus_hqs` to record both), so the resumed
+    run walks exactly the remaining rungs via the solver's own
+    ``consensus_hqs_step`` — numerically identical to an uninterrupted
+    run."""
     import jax
     import jax.numpy as jnp
 
-    from pnp_admm_cnc_mri_tpu.ops import fourier, prox as prox_mod
+    from pnp_admm_cnc_mri_tpu.parallel import consensus
 
     z0, it, meta = load_iterate_state(path, kind="consensus_hqs")
     meta = meta or {}
@@ -203,13 +228,135 @@ def resume_consensus_hqs(path: str, ys, masks, denoise,
     S = jnp.sum(jnp.where(m != 0, jnp.asarray(ys), 0.0), axis=0)
 
     def step(z, i):
-        zf = fourier.fft2(z)
-        xf = (S + alphas_j[i] * zf) / (cnt + alphas_j[i])
-        x = jnp.abs(jnp.real(fourier.ifft2(xf))).astype(z.dtype)
-        z_new = denoise(x, i).astype(z.dtype)
-        return prox_mod.clip01(z_new) if clamp else z_new, None
+        return consensus.consensus_hqs_step(
+            z, i, alphas_j[i], S, cnt, denoise, clamp, z.dtype), None
 
     final, _ = jax.lax.scan(step, z0, jnp.arange(it, max(iter_num, it)))
+    return final, meta
+
+
+def save_consensus_state(path: str, z, w, iteration: int,
+                         cfg: Optional[ADMMConfig] = None) -> None:
+    """Snapshot a consensus-ADMM run
+    (``parallel.consensus.run_consensus(..., return_state=True)``):
+    global iterate z + per-observation duals w (N, H, W)."""
+    if not path.endswith(".npz"):
+        raise ValueError(f"checkpoint path must end in .npz, got {path!r}")
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    payload = {
+        "consensus_z": np.asarray(z),
+        "consensus_w": np.asarray(w),
+        "iteration": np.asarray(iteration),
+    }
+    if cfg is not None:
+        payload["config_json"] = np.frombuffer(
+            json.dumps(dataclasses.asdict(cfg)).encode(), dtype=np.uint8
+        )
+    np.savez(path, **payload)
+
+
+def load_consensus_state(path: str):
+    """-> (z, w, iteration, ADMMConfig or None)."""
+    with np.load(path) as f:
+        if "consensus_z" not in f.files:
+            raise ValueError(f"{path} is not a consensus-ADMM checkpoint")
+        z = f["consensus_z"]
+        w = f["consensus_w"]
+        it = int(f["iteration"])
+        cfg = None
+        if "config_json" in f.files:
+            cfg = ADMMConfig(**json.loads(bytes(f["config_json"]).decode()))
+    return z, w, it, cfg
+
+
+def resume_consensus_admm(path: str, ys, masks, z_prox=None,
+                          dc_method: str = "auto"):
+    """Continue a checkpointed consensus-ADMM run
+    (``parallel.consensus.run_consensus``) to its configured iteration
+    count. The data-consistency closure is rebuilt from ``ys``/``masks``
+    + the embedded cfg.rho exactly as ``run_consensus`` builds it, and the
+    iterations replay the solver's own ``consensus_admm_step`` — so a
+    resumed run is numerically identical to an uninterrupted one.
+    ``z_prox`` defaults like the solver (L1 soft at cfg.rho*cfg.lam).
+    Returns (z, per-obs x, cfg) matching ``run_consensus``'s outputs."""
+    import jax
+    import jax.numpy as jnp
+
+    from pnp_admm_cnc_mri_tpu.ops import fourier, prox as prox_mod
+    from pnp_admm_cnc_mri_tpu.parallel import consensus
+
+    z0, w0, it, cfg = load_consensus_state(path)
+    if cfg is None:
+        raise ValueError(f"{path} has no embedded config")
+    if z_prox is None:
+        z_prox = lambda v, i: prox_mod.soft(v, cfg.rho * cfg.lam)
+    z0 = jnp.asarray(z0)
+    w0 = jnp.asarray(w0)
+    dtype = z0.dtype
+    dc = fourier.make_rfft_data_consistency(
+        ys, masks, cfg.rho, method=fourier.resolve_dc_method(dc_method, ys))
+
+    def step(carry, i):
+        z, w = carry
+        return consensus.consensus_admm_step(z, w, dc, z_prox, i, dtype), None
+
+    (z, w), _ = jax.lax.scan(step, (z0, w0),
+                             jnp.arange(it, max(cfg.iter_num, it)))
+    x = dc(z[None] - w).astype(dtype)
+    return z, x, cfg
+
+
+def save_consensus_fista(path: str, state, iteration: int, iter_num: int,
+                         step: float = 1.0, precondition: bool = True,
+                         meta: Optional[dict] = None) -> None:
+    """Snapshot a consensus-FISTA run
+    (``parallel.consensus.run_consensus_fista(..., return_state=True)``):
+    records iter_num/step/precondition automatically and tags the family
+    so a plain-FISTA driver cannot resume it by accident."""
+    m = dict(meta or {})
+    m.update({"family": "consensus_fista", "iter_num": int(iter_num),
+              "step": float(step), "precondition": bool(precondition)})
+    save_fista_state(path, state, iteration, meta=m)
+
+
+def resume_consensus_fista(path: str, ys, masks, prox_fn,
+                           iter_num: Optional[int] = None,
+                           step: Optional[float] = None):
+    """Continue a checkpointed consensus-FISTA run
+    (``parallel.consensus.run_consensus_fista``) to ``iter_num`` total
+    iterations. The mask/count/data reductions are rebuilt from
+    ``ys``/``masks`` via the solver's own ``consensus_fista_setup`` and
+    the iterations replay ``consensus_fista_iteration`` (momentum t
+    resumes from the snapshot) — numerically identical to an
+    uninterrupted run."""
+    import jax
+    import jax.numpy as jnp
+
+    from pnp_admm_cnc_mri_tpu.parallel import consensus
+    from pnp_admm_cnc_mri_tpu.solvers.fista import FISTAState
+
+    state, it, meta = load_fista_state(path)
+    meta = meta or {}
+    if meta.get("family") != "consensus_fista":
+        raise ValueError(
+            f"{path} is not a consensus-FISTA checkpoint "
+            f"(family={meta.get('family')!r}); use resume_fista")
+    iter_num = iter_num if iter_num is not None else meta.get("iter_num")
+    step = step if step is not None else meta.get("step", 1.0)
+    precondition = meta.get("precondition", True)
+    if iter_num is None:
+        raise ValueError(f"{path} has no embedded iter_num; pass it")
+    state = FISTAState(*(jnp.asarray(a) for a in state))
+    dtype = state.x.dtype
+    m, ysz, cnt = consensus.consensus_fista_setup(
+        jnp.asarray(ys), jnp.asarray(masks), precondition)
+
+    def iteration(s, i):
+        return consensus.consensus_fista_iteration(
+            s, i, m, ysz, cnt, prox_fn, step, dtype), None
+
+    final, _ = jax.lax.scan(iteration, state,
+                            jnp.arange(it, max(iter_num, it)))
     return final, meta
 
 
@@ -261,6 +408,10 @@ def resume_fista(path: str, y, mask, prox_fn, iter_num: Optional[int] = None,
 
     state, it, meta = load_fista_state(path)
     meta = meta or {}
+    if meta.get("family") == "consensus_fista":
+        raise ValueError(
+            f"{path} is a consensus-FISTA checkpoint; "
+            f"use resume_consensus_fista")
     iter_num = iter_num if iter_num is not None else meta.get("iter_num")
     step = step if step is not None else meta.get("step", 1.0)
     if iter_num is None:

@@ -342,6 +342,109 @@ class TestIterateCheckpoints:
         with pytest.raises(ValueError, match="checkpoint"):
             ckpt.resume_hqs(p, y, mj, den)
 
+    def test_consensus_hqs_clamp_false_round_trip(self, rng, tmp_path):
+        """save_consensus_hqs records clamp automatically: a clamp=False
+        run resumes with clamp=False (not the silent clamp=True default
+        the advisor flagged)."""
+        import jax.numpy as jnp
+
+        from pnp_admm_cnc_mri_tpu.ops import schedules
+        from pnp_admm_cnc_mri_tpu.parallel import consensus
+        from pnp_admm_cnc_mri_tpu.utils import checkpoint as ckpt
+
+        n = 24
+        img = rng.random((n, n))
+        masks = np.stack([(rng.random((n, n)) < 0.3).astype(np.float64)
+                          for _ in range(3)])
+        ys = jnp.asarray(np.fft.fft2(img[None], axes=(-2, -1)) * masks,
+                         jnp.complex128)
+        mj = jnp.asarray(masks)
+        alphas, _ = schedules.get_rho_sigma(iter_num=12)
+        # denoiser output leaves [0,1] so clamp on/off changes the result
+        den = lambda u, i: 1.2 * u - 0.05
+
+        full = consensus.run_consensus_hqs(
+            ys, mj, 12, den, clamp=False, dtype=jnp.float64, alphas=alphas)
+        half = consensus.run_consensus_hqs(
+            ys, mj, 5, den, clamp=False, dtype=jnp.float64, alphas=alphas[:5])
+        p = str(tmp_path / "chqs_noclamp.npz")
+        ckpt.save_consensus_hqs(p, half, 5, alphas, clamp=False)
+        resumed, meta = ckpt.resume_consensus_hqs(p, ys, mj, den)
+        assert meta["clamp"] is False
+        np.testing.assert_allclose(np.asarray(resumed), np.asarray(full),
+                                   atol=1e-12)
+
+    def test_consensus_admm_resume_identical(self, rng, tmp_path):
+        """Consensus-ADMM: snapshot (z, per-obs duals w) at iteration k,
+        resume to N == uninterrupted N-iteration run (z AND x)."""
+        import jax.numpy as jnp
+
+        from pnp_admm_cnc_mri_tpu.config import ADMMConfig
+        from pnp_admm_cnc_mri_tpu.parallel import consensus
+        from pnp_admm_cnc_mri_tpu.utils import checkpoint as ckpt
+
+        n = 24
+        img = rng.random((n, n))
+        masks = np.stack([(rng.random((n, n)) < 0.3).astype(np.float64)
+                          for _ in range(3)])
+        ys = jnp.asarray(np.fft.fft2(img[None], axes=(-2, -1)) * masks,
+                         jnp.complex128)
+        mj = jnp.asarray(masks)
+        cfg = ADMMConfig(iter_num=14, lam=0.1, rho=0.05)
+
+        z_full, x_full = consensus.run_consensus(ys, mj, cfg,
+                                                 dtype=jnp.float64)
+        cfg5 = ADMMConfig(iter_num=6, lam=0.1, rho=0.05)
+        z_h, _x_h, w_h = consensus.run_consensus(
+            ys, mj, cfg5, dtype=jnp.float64, return_state=True)
+        p = str(tmp_path / "cadmm.npz")
+        ckpt.save_consensus_state(p, z_h, w_h, 6, cfg=cfg)
+        z_r, x_r, cfg_r = ckpt.resume_consensus_admm(p, ys, mj)
+        assert cfg_r.iter_num == 14
+        np.testing.assert_allclose(np.asarray(z_r), np.asarray(z_full),
+                                   atol=1e-12)
+        np.testing.assert_allclose(np.asarray(x_r), np.asarray(x_full),
+                                   atol=1e-12)
+
+    def test_consensus_fista_resume_identical_and_family_guard(
+            self, rng, tmp_path):
+        """Consensus-FISTA: snapshot (x, v, momentum t) at iteration k,
+        resume to N == uninterrupted run; the family tag stops
+        resume_fista / resume_consensus_fista cross-resuming."""
+        import jax.numpy as jnp
+        import pytest
+
+        from pnp_admm_cnc_mri_tpu.ops import prox as prox_mod
+        from pnp_admm_cnc_mri_tpu.parallel import consensus
+        from pnp_admm_cnc_mri_tpu.utils import checkpoint as ckpt
+
+        n = 24
+        img = rng.random((n, n))
+        masks = np.stack([(rng.random((n, n)) < 0.3).astype(np.float64)
+                          for _ in range(3)])
+        ys = jnp.asarray(np.fft.fft2(img[None], axes=(-2, -1)) * masks,
+                         jnp.complex128)
+        mj = jnp.asarray(masks)
+        prox_fn = lambda i, u: prox_mod.soft(u, 1e-3)
+
+        x_full = consensus.run_consensus_fista(
+            ys, mj, 20, prox_fn, dtype=jnp.float64)
+        half = consensus.run_consensus_fista(
+            ys, mj, 8, prox_fn, dtype=jnp.float64, return_state=True)
+        p = str(tmp_path / "cfista.npz")
+        ckpt.save_consensus_fista(p, half, 8, iter_num=20)
+        resumed, meta = ckpt.resume_consensus_fista(p, ys, mj, prox_fn)
+        assert meta["iter_num"] == 20
+        np.testing.assert_allclose(np.asarray(resumed.x),
+                                   np.asarray(x_full), atol=1e-12)
+        with pytest.raises(ValueError, match="consensus-FISTA"):
+            ckpt.resume_fista(p, ys[0], mj[0], prox_fn)
+        # and the reverse direction: a plain FISTA snapshot is refused
+        p2 = str(tmp_path / "plain.npz")
+        ckpt.save_fista_state(p2, half, 8, meta={"iter_num": 20})
+        with pytest.raises(ValueError, match="not a consensus-FISTA"):
+            ckpt.resume_consensus_fista(p2, ys, mj, prox_fn)
+
     def test_consensus_hqs_resume_identical(self, rng, tmp_path):
         import jax.numpy as jnp
 
