@@ -5,18 +5,36 @@
 Reports one JSON line per configuration (algorithm, batch, iters/s,
 quality on set1) — the expanded companion to the single-line bench.py the
 driver consumes. Timing forces scalar fetches (axon-safe).
+
+Every row carries:
+
+- ``spread_pct`` — (max-min)/median over the N=3 timed repeats, so
+  regressions are distinguishable from axon-tunnel weather (same-day
+  suite runs historically drift ~15%);
+- on TPU, ``pct_sol`` + ``modeled_gflop_per_image_iter`` +
+  ``modeled_mb_per_image_iter`` — a per-family speed-of-light estimate
+  from XLA's own compiled-program cost analysis (flops + bytes accessed
+  of the exact HLO that ran), against the v5e ceilings: 197 TFLOP/s bf16
+  MXU / 3 for the f32-accurate 3-pass einsums this package uses
+  (Precision.HIGH), 819 GB/s HBM. The SoL time is
+  max(flops/peak_flops, bytes/peak_bw); pct_sol = 100 * SoL / measured.
 """
 
 from __future__ import annotations
 
 import argparse
 import json
+import statistics
 import sys
 import time
 
 import numpy as np
 
 sys.path.insert(0, "/root/repo")
+
+# v5e public specs (one chip); /3: Precision.HIGH einsums run 3 bf16 passes
+PEAK_FLOPS_F32EQ = 197e12 / 3
+PEAK_HBM_BPS = 819e9
 
 
 def main(argv=None) -> int:
@@ -66,18 +84,40 @@ def main(argv=None) -> int:
               jnp.asarray(np.real(kn), jnp.float32),
               jnp.asarray(np.imag(kn), jnp.float32))
 
-    def timed(solve_fn, n_iters, batch):
+    def timed(fn, fargs, n_iters, batch):
         # The solver jits return an on-device SCALAR (mean reduced inside
         # jit): fetching anything else through the axon tunnel hits
-        # UNIMPLEMENTED transfers.
-        float(solve_fn())  # compile
+        # UNIMPLEMENTED transfers. AOT lower+compile so the same
+        # executable provides both the timing and its cost analysis.
+        compiled = fn.lower(*fargs).compile()
+        cost = None
+        try:
+            ca = compiled.cost_analysis()
+            if isinstance(ca, (list, tuple)):
+                ca = ca[0]
+            if ca:
+                cost = {"flops": float(ca.get("flops", 0.0)),
+                        "bytes": float(ca.get("bytes accessed", 0.0))}
+        except Exception:
+            pass
+        float(np.asarray(compiled(*fargs)))  # warmup
         times = []
         for _ in range(3):
             t0 = time.perf_counter()
-            float(solve_fn())
+            float(np.asarray(compiled(*fargs)))
             times.append(time.perf_counter() - t0)
-        dt = min(times)
-        return batch * n_iters / dt, dt
+        dt = statistics.median(times)
+        extra = {"spread_pct": round(100.0 * (max(times) - min(times)) / dt, 1)}
+        n_image_iters = batch * n_iters
+        if cost and cost["flops"] > 0 and jax.default_backend() != "cpu":
+            sol_t = max(cost["flops"] / PEAK_FLOPS_F32EQ,
+                        cost["bytes"] / PEAK_HBM_BPS)
+            extra["pct_sol"] = round(100.0 * sol_t / dt, 1)
+            extra["modeled_gflop_per_image_iter"] = round(
+                cost["flops"] / n_image_iters / 1e9, 3)
+            extra["modeled_mb_per_image_iter"] = round(
+                cost["bytes"] / n_image_iters / 1e6, 3)
+        return n_image_iters / dt, dt, extra
 
     records = []
 
@@ -107,8 +147,8 @@ def main(argv=None) -> int:
                 y, m, _cfg, dtype=jnp.float32, fused=_fused
             )[0].x.mean()
         )
-        ips, dt = timed(lambda: fn(y, m), args.iter_num, args.batch)
-        record(name, ips, dt)
+        ips, dt, ex = timed(fn, (y, m), args.iter_num, args.batch)
+        record(name, ips, dt, ex)
 
     # Consensus ADMM (multi-mask fusion; dc_method=auto rides the packed
     # MXU matmul DC path on accelerators as of round 2)
@@ -122,8 +162,8 @@ def main(argv=None) -> int:
         lambda ys, ms: cons.run_consensus(ys, ms, cfg_cons,
                                           dtype=jnp.float32)[0].mean()
     )
-    ips, dt = timed(lambda: fn(y_cons, masks_c), args.iter_num, n_obs)
-    record("consensus_l1_4obs", ips, dt, {"batch": n_obs})
+    ips, dt, ex = timed(fn, (y_cons, masks_c), args.iter_num, n_obs)
+    record("consensus_l1_4obs", ips, dt, {"batch": n_obs, **ex})
 
     # PnP with a DnCNN prior (random weights; throughput measurement)
     den = dn.build_denoiser("dncnn_15")
@@ -132,8 +172,8 @@ def main(argv=None) -> int:
         lambda y, m: admm.pnp_admm_l1(y, m, cfg_d, den, dtype=jnp.float32)[0].x.mean()
     )
     small = y[: max(1, args.batch // 8)]
-    ips, dt = timed(lambda: fn(small, m), args.iter_num, small.shape[0])
-    record("pnp_dncnn17", ips, dt, {"batch": int(small.shape[0])})
+    ips, dt, ex = timed(fn, (small, m), args.iter_num, small.shape[0])
+    record("pnp_dncnn17", ips, dt, {"batch": int(small.shape[0]), **ex})
 
     # PnP-FISTA (gradient-form solver; same DnCNN prior for comparability)
     from pnp_admm_cnc_mri_tpu.solvers import fista as fista_mod
@@ -142,8 +182,8 @@ def main(argv=None) -> int:
         lambda y, m: fista_mod.pnp_fista(
             y, m, args.iter_num, den, dtype=jnp.float32)[0].x.mean()
     )
-    ips, dt = timed(lambda: fn(small, m), args.iter_num, small.shape[0])
-    record("pnp_fista_dncnn17", ips, dt, {"batch": int(small.shape[0])})
+    ips, dt, ex = timed(fn, (small, m), args.iter_num, small.shape[0])
+    record("pnp_fista_dncnn17", ips, dt, {"batch": int(small.shape[0]), **ex})
 
     # PnP-HQS (DPIR ladder solver; same DnCNN prior)
     from pnp_admm_cnc_mri_tpu.solvers import hqs as hqs_mod
@@ -152,8 +192,8 @@ def main(argv=None) -> int:
         lambda y, m: hqs_mod.pnp_hqs(
             y, m, args.iter_num, den, dtype=jnp.float32)[0].mean()
     )
-    ips, dt = timed(lambda: fn(small, m), args.iter_num, small.shape[0])
-    record("pnp_hqs_dncnn17", ips, dt, {"batch": int(small.shape[0])})
+    ips, dt, ex = timed(fn, (small, m), args.iter_num, small.shape[0])
+    record("pnp_hqs_dncnn17", ips, dt, {"batch": int(small.shape[0]), **ex})
 
     # RED fixed-point (gradient + denoiser-residual step; same prior)
     from pnp_admm_cnc_mri_tpu.solvers import red as red_mod
@@ -162,8 +202,8 @@ def main(argv=None) -> int:
         lambda y, m: red_mod.run_red(
             y, m, args.iter_num, den, dtype=jnp.float32)[0].mean()
     )
-    ips, dt = timed(lambda: fn(small, m), args.iter_num, small.shape[0])
-    record("red_dncnn17", ips, dt, {"batch": int(small.shape[0])})
+    ips, dt, ex = timed(fn, (small, m), args.iter_num, small.shape[0])
+    record("red_dncnn17", ips, dt, {"batch": int(small.shape[0]), **ex})
 
     # consensus-FISTA (union-preconditioned fused gradient, L1 prox)
     from pnp_admm_cnc_mri_tpu.ops import prox as prox_mod
@@ -173,8 +213,8 @@ def main(argv=None) -> int:
             ys, ms, args.iter_num,
             lambda i, u: prox_mod.soft(u, 5e-3)).mean()
     )
-    ips, dt = timed(lambda: fn(y_cons, masks_c), args.iter_num, n_obs)
-    record("consensus_fista_l1_4obs", ips, dt, {"batch": n_obs})
+    ips, dt, ex = timed(fn, (y_cons, masks_c), args.iter_num, n_obs)
+    record("consensus_fista_l1_4obs", ips, dt, {"batch": n_obs, **ex})
 
     # consensus-HQS (exact joint data solve, setup-only reductions, L1 prox)
     fn = jax.jit(
@@ -182,25 +222,33 @@ def main(argv=None) -> int:
             ys, ms, args.iter_num,
             lambda u, i: prox_mod.soft(u, 5e-3)).mean()
     )
-    ips, dt = timed(lambda: fn(y_cons, masks_c), args.iter_num, n_obs)
-    record("consensus_hqs_l1_4obs", ips, dt, {"batch": n_obs})
+    ips, dt, ex = timed(fn, (y_cons, masks_c), args.iter_num, n_obs)
+    record("consensus_hqs_l1_4obs", ips, dt, {"batch": n_obs, **ex})
 
     if not args.skip_bm3d:
-        den_b = bm3d_prior.make_bm3d_denoiser()
         cfg_b = ADMMConfig(iter_num=5, rho=0.8)
-        one = y[:1]
-        fn = jax.jit(
-            lambda y, m: admm.pnp_admm_l1(y, m, cfg_b, den_b, clamp=False,
-                                          dtype=jnp.float32)[0].x.mean()
-        )
-        ips, dt = timed(lambda: fn(one, m), 5, 1)
-        record("pnp_bm3d_5it", ips, dt, {"batch": 1, "iters": 5})
+        # batch 1 (the historical row) + vmapped batches: the BM3D prior
+        # processes `batch_chunk` images concurrently (round-3 change;
+        # previously lax.map serialized the batch on device and every
+        # recorded BM3D number was batch 1)
+        for nb, chunk in [(1, 1), (4, 4), (8, 8)]:
+            den_b = bm3d_prior.make_bm3d_denoiser(batch_chunk=chunk)
+            fn = jax.jit(
+                lambda y, m, _d=den_b: admm.pnp_admm_l1(
+                    y, m, cfg_b, _d, clamp=False,
+                    dtype=jnp.float32)[0].x.mean()
+            )
+            ips, dt, ex = timed(fn, (y[:nb], m), 5, nb)
+            tag = "pnp_bm3d_5it" if nb == 1 else f"pnp_bm3d_5it_b{nb}"
+            record(tag, ips, dt, {"batch": nb, "iters": 5, **ex})
 
         # steady-state throughput: REP solves scanned inside one jit, so
         # the axon tunnel's ~24.5 ms dispatch+fetch floor (which is 20%+
         # of the single-solve wall time) amortizes away — this is the
         # sustained rate of a long reconstruction job
         REP = 4
+        den_b = bm3d_prior.make_bm3d_denoiser(batch_chunk=1)
+        one = y[:1]
         @jax.jit
         def fn_rep(y, m):
             def body(c, _):
@@ -209,9 +257,9 @@ def main(argv=None) -> int:
                 return jnp.mean(out) * 1e-9, None
             s, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(REP))
             return s
-        ips, dt = timed(lambda: fn_rep(one, m), 5 * REP, 1)
+        ips, dt, ex = timed(fn_rep, (one, m), 5 * REP, 1)
         record("pnp_bm3d_5it_steady", ips, dt,
-               {"batch": 1, "iters": 5 * REP})
+               {"batch": 1, "iters": 5 * REP, **ex})
 
     if args.out:
         for r in records:

@@ -18,7 +18,8 @@ import os
 def main(argv=None) -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--model", default="dncnn",
-                   choices=["dncnn", "fdncnn", "ircnn", "ffdnet", "drunet"])
+                   choices=["dncnn", "fdncnn", "ircnn", "ffdnet", "drunet",
+                            "tdnet"])
     p.add_argument("--sigma", type=float, default=15.0, help="noise level /255")
     p.add_argument("--sigma_max", type=float, default=None,
                    help="if set, sample sigma in [--sigma, --sigma_max]")
@@ -66,6 +67,19 @@ def main(argv=None) -> int:
     p.add_argument("--extra_images", default=None,
                    help="comma list of extra grayscale image files to add to "
                         "the patch corpus (PNGs; .mat loads var 'image')")
+    p.add_argument("--synth", type=int, default=0,
+                   help="train on an ON-DEVICE procedural corpus of this "
+                        "many images (train/synth.py: dead leaves + 1/f "
+                        "fields + MRI phantoms + elastic warps; leakage-"
+                        "immune, zero host transfers). Replaces --trainset.")
+    p.add_argument("--synth_size", type=int, default=128,
+                   help="generated image side (--synth)")
+    p.add_argument("--synth_refresh", type=int, default=0,
+                   help="regenerate the on-device corpus every N steps "
+                        "(0 = fixed corpus — the scaling-study knob; "
+                        ">0 = effectively infinite stream)")
+    p.add_argument("--synth_disks", type=int, default=600,
+                   help="dead-leaves disk count per image (--synth)")
     args = p.parse_args(argv)
 
     import jax
@@ -82,30 +96,35 @@ def main(argv=None) -> int:
     from pnp_admm_cnc_mri_tpu.models.ffdnet import FFDNet
     from pnp_admm_cnc_mri_tpu.train import data as data_mod, trainer
 
-    trainset = args.trainset or os.path.join(images.DEFAULT_TESTSETS, "set")
-    imgs01, names = images.load_images_dir(trainset)
-    if args.exclude:
-        skip = set(args.exclude.split(","))
-        imgs01 = [im for im, n in zip(imgs01, names) if n not in skip]
-    corpus_imgs = list(imgs01)
-    if args.extra_images:
-        for path in args.extra_images.split(","):
-            path = path.strip()
-            if path.endswith(".mat"):
-                import scipy.io as sio
-                arrs = {k: v for k, v in sio.loadmat(path).items()
-                        if not k.startswith("__")}
-                arr = np.abs(np.asarray(next(iter(arrs.values())), np.float64))
-                if arr.ndim == 3:
-                    arr = arr.mean(axis=-1)
-                arr = arr / max(float(arr.max()), 1e-12)
-            else:
-                arr = images.uint2single(images.imread_gray(path))
-            corpus_imgs.append(np.asarray(arr, np.float32))
-    if args.multiscale:
-        patches = data_mod.extract_patches_multiscale(corpus_imgs, patch=args.patch)
+    if args.synth:
+        patches = None  # stream trainer synthesizes on device
     else:
-        patches = data_mod.extract_patches(corpus_imgs, patch=args.patch)
+        trainset = args.trainset or os.path.join(images.DEFAULT_TESTSETS, "set")
+        imgs01, names = images.load_images_dir(trainset)
+        if args.exclude:
+            skip = set(args.exclude.split(","))
+            imgs01 = [im for im, n in zip(imgs01, names) if n not in skip]
+        corpus_imgs = list(imgs01)
+        if args.extra_images:
+            for path in args.extra_images.split(","):
+                path = path.strip()
+                if path.endswith(".mat"):
+                    import scipy.io as sio
+                    arrs = {k: v for k, v in sio.loadmat(path).items()
+                            if not k.startswith("__")}
+                    arr = np.abs(np.asarray(next(iter(arrs.values())),
+                                            np.float64))
+                    if arr.ndim == 3:
+                        arr = arr.mean(axis=-1)
+                    arr = arr / max(float(arr.max()), 1e-12)
+                else:
+                    arr = images.uint2single(images.imread_gray(path))
+                corpus_imgs.append(np.asarray(arr, np.float32))
+        if args.multiscale:
+            patches = data_mod.extract_patches_multiscale(corpus_imgs,
+                                                          patch=args.patch)
+        else:
+            patches = data_mod.extract_patches(corpus_imgs, patch=args.patch)
 
     conditioned = False
     ffdnet_style = False
@@ -119,6 +138,12 @@ def main(argv=None) -> int:
     elif args.model == "ffdnet":
         model = FFDNet(out_nc=1, nc=args.nc, nb=args.nb or 15)
         ffdnet_style = True
+    elif args.model == "tdnet":
+        from pnp_admm_cnc_mri_tpu.models.tdnet import TDNet
+
+        model = TDNet(out_nc=1, nc=args.nc if args.nc != 64 else 128,
+                      nb=args.nb or 12)
+        ffdnet_style = True  # same (x, sigma) apply signature
     else:
         model = UNetRes(out_nc=1, nc=(64, 128, 256, 512), nb=args.nb or 4)
         conditioned = True
@@ -151,6 +176,8 @@ def main(argv=None) -> int:
     if args.bundle:
         if args.model != "ircnn":
             raise SystemExit("--bundle is only meaningful for --model ircnn")
+        if args.synth:
+            raise SystemExit("--bundle does not support --synth yet")
         # The reference's ircnn_gray checkpoint is 25 state-dicts keyed
         # "0".."24" by noise bin (【3】PNP_ADMM_L1_D  .py:188-189, :281-288);
         # bin i serves sigma255 in (2i, 2i+2], center 2i+1. Train the middle
@@ -224,7 +251,22 @@ def main(argv=None) -> int:
             init_params,
         )
 
-    if args.ondevice:
+    if args.synth:
+        from pnp_admm_cnc_mri_tpu.train import synth as synth_mod
+
+        generator = synth_mod.make_generator(
+            size=args.synth_size, seeds=synth_mod.load_warp_seeds(),
+            n_disks=args.synth_disks)
+        params, losses = trainer.train_denoiser_stream(
+            model, generator, sigma, steps=args.steps,
+            batch_size=args.batch, patch=args.patch, cfg=cfg,
+            buffer_images=args.synth, refresh_every=args.synth_refresh,
+            conditioned=conditioned, ffdnet_style=ffdnet_style,
+            params=init_params, ckpt_cb=ckpt_cb,
+            ckpt_every=args.ckpt_every, ema_decay=args.ema,
+            scan_steps=args.scan_steps,
+        )
+    elif args.ondevice:
         params, losses = trainer.train_denoiser_ondevice(
             model, patches, sigma, steps=args.steps, batch_size=args.batch,
             cfg=cfg, conditioned=conditioned, ffdnet_style=ffdnet_style,
@@ -239,7 +281,10 @@ def main(argv=None) -> int:
             ckpt_cb=ckpt_cb, ckpt_every=args.ckpt_every,
         )
     save(params, args.out)
-    print(json.dumps({"out": args.out, "losses": losses[-3:], "patches": len(patches)}))
+    print(json.dumps({
+        "out": args.out, "losses": losses[-3:],
+        "patches": (f"synth:{args.synth}" if args.synth else len(patches)),
+    }))
     return 0
 
 

@@ -126,7 +126,7 @@ def nlm_for_model(model_name: str, nlm255: Optional[float]) -> Optional[float]:
     if nlm255 is None:
         return None
     name = model_name.lower()
-    if "ircnn" in name or "drunet" in name:
+    if "ircnn" in name or "drunet" in name or "tdnet" in name:
         return nlm255 / 255.0
     return float(nlm255)
 
@@ -309,6 +309,32 @@ def build_denoiser(
         def denoise(v, i):
             x, restore = _as_nhwc(v, compute_dtype)
             return restore(model.apply(params, x, sig))
+
+        return denoise
+
+    if "tdnet" in name:
+        from pnp_admm_cnc_mri_tpu.models.tdnet import TDNet
+
+        # TPU-shaped prior (models/tdnet.py): nc=128 MXU-filling width.
+        # `nc` keeps its 64 default for the reference models; TDNet's own
+        # default width applies unless explicitly overridden (tests).
+        td_nc = nc if nc != 64 else 128
+        model = TDNet(out_nc=1, nc=td_nc, nb=nb or 12)
+        nlm = 15.0 / 255.0 if noise_level_model is None else noise_level_model
+        _, sigmas = schedules.get_rho_sigma(
+            sigma=max(0.255 / 255.0, nlm), iter_num=iter_num,
+            model_sigma1=model_sigma1, model_sigma2=nlm * 255.0,
+        )
+        sigmas_d = jnp.asarray(sigmas, compute_dtype or param_dtype)
+        if params is None:
+            params = _load_params(model, weights, None,
+                                  allow_random=allow_random_init,
+                                  dtype=param_dtype, ffdnet=True)
+        params = _maybe_cast(params)
+
+        def denoise(v, i):
+            x, restore = _as_nhwc(v, compute_dtype)
+            return restore(model.apply(params, x, sigmas_d[i]))
 
         return denoise
 

@@ -188,6 +188,136 @@ def train_denoiser(
     return params, losses
 
 
+def train_denoiser_stream(
+    model,
+    generator: Callable,
+    sigma,
+    steps: int = 1000,
+    batch_size: int = 64,
+    patch: int = 64,
+    cfg: TrainConfig = TrainConfig(),
+    buffer_images: int = 2048,
+    refresh_every: int = 0,
+    conditioned: bool = False,
+    ffdnet_style: bool = False,
+    seed: int = 0,
+    log_every: int = 100,
+    params: Any = None,
+    ckpt_cb: Optional[Callable[[int, Any], None]] = None,
+    ckpt_every: int = 0,
+    ema_decay: Optional[float] = None,
+    scan_steps: int = 1,
+):
+    """Train on an ON-DEVICE procedural corpus (``train.synth``).
+
+    ``generator(key, n) -> (n, gen, gen)`` synthesizes images under jit;
+    the trainer keeps a ``buffer_images``-image device buffer and random-
+    crops ``patch``-sized training patches from it inside the fused step
+    (gather + crop + dihedral + AWGN + optimizer update in one jit).
+    ``refresh_every > 0`` regenerates the buffer every that many steps —
+    an effectively infinite stream; ``refresh_every == 0`` freezes the
+    first buffer, making ``buffer_images`` the corpus-size knob for
+    scaling studies. ZERO image bytes cross the host<->device link either
+    way (only loss scalars and checkpoints).
+    """
+    rng = jax.random.PRNGKey(seed)
+    in_nc = 2 if conditioned else 1
+    if params is None:
+        dummy = jnp.zeros((1, patch, patch, in_nc), jnp.float32)
+        if ffdnet_style:
+            params = model.init(rng, dummy[..., :1], jnp.asarray(0.1))
+        else:
+            params = model.init(rng, dummy)
+
+    optimizer = make_optimizer(cfg, steps=steps)
+    opt_state = optimizer.init(params)
+
+    if ffdnet_style:
+        def loss_fn(params, noisy, clean, sigma):
+            pred = model.apply(params, noisy, sigma[:, 0, 0, 0])
+            return 0.5 * jnp.mean((pred - clean) ** 2)
+    else:
+        loss_fn = make_loss_fn(model.apply, cfg.loss, conditioned)
+
+    lo, hi = sigma if isinstance(sigma, tuple) else (sigma, sigma)
+
+    gen_jit = jax.jit(lambda k: generator(k, buffer_images))
+
+    def _crop(img, top, left):
+        return jax.lax.dynamic_slice(img, (top, left), (patch, patch))
+
+    @jax.jit
+    def fused_step(params, opt_state, ema, buffer, key):
+        k_idx, k_top, k_left, k_aug, k_sig, k_noise = jax.random.split(key, 6)
+        n_buf, gen = buffer.shape[0], buffer.shape[1]
+        idx = jax.random.randint(k_idx, (batch_size,), 0, n_buf)
+        tops = jax.random.randint(k_top, (batch_size,), 0, gen - patch + 1)
+        lefts = jax.random.randint(k_left, (batch_size,), 0, gen - patch + 1)
+        clean = jax.vmap(_crop)(buffer[idx], tops, lefts)[..., None]
+        modes = jax.random.randint(k_aug, (batch_size,), 0, 8)
+        clean = jax.vmap(_dihedral)(clean, modes)
+        sig = jax.random.uniform(
+            k_sig, (batch_size, 1, 1, 1), jnp.float32, lo, hi)
+        noisy = clean + sig * jax.random.normal(k_noise, clean.shape,
+                                                jnp.float32)
+        loss, grads = jax.value_and_grad(loss_fn)(params, noisy, clean, sig)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        if ema_decay is not None:
+            ema = jax.tree.map(
+                lambda e, p: ema_decay * e + (1.0 - ema_decay) * p, ema,
+                params)
+        return params, opt_state, ema, loss
+
+    @jax.jit
+    def mega_step(params, opt_state, ema, buffer, key):
+        def body(carry, sub):
+            params, opt_state, ema = carry
+            params, opt_state, ema, loss = fused_step(
+                params, opt_state, ema, buffer, sub)
+            return (params, opt_state, ema), loss
+
+        subs = jax.random.split(key, scan_steps)
+        (params, opt_state, ema), ls = jax.lax.scan(
+            body, (params, opt_state, ema), subs)
+        return params, opt_state, ema, ls
+
+    key = jax.random.PRNGKey(seed + 1)
+    key, kb = jax.random.split(key)
+    buffer = gen_jit(kb)
+    ema = params if ema_decay is not None else None
+    out = lambda: ema if ema_decay is not None else params
+    losses = []
+    done = 0
+    last_refresh = 0
+    while done < steps:
+        key, sub = jax.random.split(key)
+        if scan_steps > 1:
+            params, opt_state, ema, ls = mega_step(
+                params, opt_state, ema, buffer, sub)
+            ls = np.asarray(jax.device_get(ls))
+            for j in range(0, scan_steps, max(1, log_every)):
+                losses.append((done + j, float(ls[j])))
+            done += scan_steps
+        else:
+            params, opt_state, ema, loss = fused_step(
+                params, opt_state, ema, buffer, sub)
+            if done % log_every == 0:
+                losses.append((done, float(loss)))
+            done += 1
+        if refresh_every and done - last_refresh >= refresh_every:
+            key, kb = jax.random.split(key)
+            buffer = gen_jit(kb)
+            last_refresh = done
+        if ckpt_cb is not None and ckpt_every and (
+            done % max(ckpt_every, scan_steps) < scan_steps
+        ):
+            ckpt_cb(done, jax.device_get(out()))
+    if ckpt_cb is not None:
+        ckpt_cb(done, jax.device_get(out()))
+    return out(), losses
+
+
 def _dihedral(patch, mode):
     """One of the 8 dihedral transforms of a square (H, W, C) patch,
     selected by a traced integer — matches ``data.augment_batch`` modes

@@ -84,6 +84,7 @@ iters = int(sys.argv[2])
 eps = float(sys.argv[3])
 seed = int(sys.argv[4])
 out_npz = sys.argv[5]
+save_vz = len(sys.argv) > 6 and sys.argv[6] == "1"
 sys.path.insert(0, scratch)
 import os
 os.chdir(scratch)
@@ -114,38 +115,84 @@ La2 = 1.0 / 2.0 / reo
 truth = img.astype(np.float64)
 
 traj = np.empty((iters, 256, 256), np.float64)
+v_traj = np.empty((iters, 256, 256), np.float64) if save_vz else None
+z_traj = np.empty((iters, 256, 256), np.float64) if save_vz else None
 psnrs = []
 for i in range(iters):
     xf = np.fft.fft2(z - w)
     xf[index] = (La2 * xf[index] + y[index]) / (1.0 + La2)
     x = np.absolute(np.real(np.fft.ifft2(xf)))
-    z = bm3d(x + w, psd)
+    v = x + w
+    z = bm3d(v, psd)
+    if save_vz:
+        v_traj[i] = v
+        z_traj[i] = z
     w = w + x - z
     traj[i] = x
     mse = np.mean((x * 255.0 - truth) ** 2)
     psnrs.append(10 * np.log10(255.0 ** 2 / mse))
+extra = {}
+if save_vz:
+    # f64: the resync study compares OUR bm3d against these to 1e-6
+    extra = {"v_traj": v_traj, "z_traj": z_traj}
 np.savez_compressed(out_npz, traj=traj.astype(np.float32), psnrs=np.array(psnrs),
-                    x_final=traj[-1])
+                    x_final=traj[-1], **extra)
 print("final psnr", psnrs[-1], flush=True)
 '''
 
 
-def run_reference(scratch: str, iters: int, eps: float, seed: int,
-                  out_npz: str) -> None:
+def _ref_env(scratch: str) -> dict:
     env = dict(os.environ)
     env["LD_LIBRARY_PATH"] = ":".join(
         [os.path.join(scratch, "libs"), CV_LIBS,
          env.get("LD_LIBRARY_PATH", "")])
     env.pop("JAX_PLATFORMS", None)
+    env["OMP_NUM_THREADS"] = "1"  # parallel seed runs: 1 BLAS thread each
+    return env
+
+
+def run_reference(scratch: str, iters: int, eps: float, seed: int,
+                  out_npz: str, save_vz: bool = False) -> None:
     subprocess.run(
         [sys.executable, "-c", REF_DRIVER, scratch, str(iters), str(eps),
-         str(seed), out_npz],
-        env=env, check=True, timeout=3600,
+         str(seed), out_npz, "1" if save_vz else "0"],
+        env=_ref_env(scratch), check=True, timeout=3600,
     )
 
 
-def run_ours(iters: int, out_npz: str, dtype: str = "f64") -> None:
-    """Our A2 (f64 CPU) on the identical observation, trajectory recorded."""
+def run_reference_pool(scratch: str, iters: int, jobs, max_parallel: int = 3
+                       ) -> None:
+    """Run (eps, seed, out_npz) reference jobs ``max_parallel`` at a time
+    (each is a single-threaded process; the chip count bounds the pool)."""
+    env = _ref_env(scratch)
+    pending = list(jobs)
+    running: list = []
+    while pending or running:
+        while pending and len(running) < max_parallel:
+            eps, seed, out_npz = pending.pop(0)
+            proc = subprocess.Popen(
+                [sys.executable, "-c", REF_DRIVER, scratch, str(iters),
+                 str(eps), str(seed), out_npz, "0"],
+                env=env, stdout=subprocess.DEVNULL)
+            running.append((proc, out_npz))
+        done = [r for r in running if r[0].poll() is not None]
+        for proc, out_npz in done:
+            if proc.returncode != 0:
+                raise RuntimeError(f"reference run failed: {out_npz}")
+            print(f"done {out_npz}", flush=True)
+        running = [r for r in running if r[0].poll() is None]
+        if running:
+            import time as _t
+            _t.sleep(5)
+
+
+def run_ours(iters: int, out_npz: str, dtype: str = "f64",
+             eps: float = 0.0, seed: int = 0) -> None:
+    """Our A2 (f64 CPU) on the identical observation, trajectory recorded.
+    ``eps > 0`` perturbs the input exactly like the reference probes do —
+    the endpoint CLOUD of these runs is compared against the reference's
+    cloud (two chaotic solvers; the parity claim is distribution overlap,
+    not point equality)."""
     sys.path.insert(0, "/root/repo")
     import jax
 
@@ -159,6 +206,9 @@ def run_ours(iters: int, out_npz: str, dtype: str = "f64") -> None:
 
     img = images.imread_gray(os.path.join(REF, "testsets/set1/05.png"))
     img_L = images.uint2single(images.single2uint(images.uint2single(img)))
+    if eps > 0:
+        rng = np.random.default_rng(seed)
+        img_L = img_L + eps * rng.standard_normal(img_L.shape)
     mask = masks.load_mask("Q_Random30").astype(np.float64)
     kn = noise_mod.load_noise()
     y = np.fft.fft2(img_L) * mask + kn
@@ -189,6 +239,51 @@ def run_ours(iters: int, out_npz: str, dtype: str = "f64") -> None:
                         psnrs=np.array(psnrs), x_final=traj[-1])
 
 
+def run_resync(base_npz: str, out_json: str) -> dict:
+    """Per-iteration resync (VERDICT r2 #5): feed the REFERENCE's own BM3D
+    input v_i = x_i + w_i into OUR BM3D each iteration and measure the
+    per-call deviation from the reference's z_i. If every call stays
+    below the C suite's ALLOWED_ERROR_SAME = 1e-6
+    (``bm3d307/tests/common_vals.py:7-9``), our per-call outputs are
+    'the same' by the reference's own standard and the endpoint band is
+    pure chaos amplification."""
+    sys.path.insert(0, "/root/repo")
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+
+    from pnp_admm_cnc_mri_tpu.priors import bm3d_prior
+
+    base = np.load(base_npz)
+    if "v_traj" not in base.files:
+        raise SystemExit(f"{base_npz} has no v/z trajectories; re-run the "
+                         "base reference with save_vz")
+    v_traj = base["v_traj"]
+    z_traj = base["z_traj"]
+    den = bm3d_prior.make_bm3d_denoiser()
+    max_abs, rel = [], []
+    for i in range(v_traj.shape[0]):
+        ours = np.asarray(den(jnp.asarray(v_traj[i], jnp.float64), i),
+                          np.float64)
+        d = np.abs(ours - z_traj[i])
+        max_abs.append(float(d.max()))
+        rel.append(float(np.linalg.norm(d) / np.linalg.norm(z_traj[i])))
+        print(f"resync iter {i}: max|dz| {max_abs[-1]:.3e} rel "
+              f"{rel[-1]:.3e}", flush=True)
+    report = {
+        "per_call_max_abs": max_abs,
+        "per_call_rel": rel,
+        "worst_max_abs": max(max_abs),
+        "allowed_error_same": 1e-6,
+        "all_calls_within_same_tolerance": bool(max(max_abs) < 1e-6),
+    }
+    with open(out_json, "w") as fh:
+        json.dump(report, fh, indent=1)
+    return report
+
+
 def analyze(outdir: str) -> dict:
     base = np.load(os.path.join(outdir, "ref_base.npz"))
     runs = {}
@@ -201,6 +296,7 @@ def analyze(outdir: str) -> dict:
     }
     finals = []
     curves = {}
+    by_eps: dict = {}
     for name, r in runs.items():
         d = np.linalg.norm(
             r["traj"] - base["traj"], axis=(1, 2)
@@ -209,9 +305,50 @@ def analyze(outdir: str) -> dict:
         report[f"{name}_final_psnr"] = float(r["psnrs"][-1])
         if name.startswith("ref_eps"):
             finals.append(float(r["psnrs"][-1]))
+            eps_tag = name.split("_s")[0]  # e.g. ref_eps1e-07
+            by_eps.setdefault(eps_tag, []).append(float(r["psnrs"][-1]))
     if finals:
         finals.append(report["ref_final_psnr"])
         report["ref_self_spread_db"] = float(max(finals) - min(finals))
+        report["ref_spread_lo_hi"] = [float(min(finals)), float(max(finals))]
+        ours = report.get("ours_f64_final_psnr")
+        if ours is not None:
+            report["ours_inside_ref_spread"] = bool(
+                min(finals) <= ours <= max(finals))
+    # eps-scaling law: per-level spread + saturation distance (chaos
+    # signature: final divergence saturates at the attractor size
+    # regardless of eps; only the ARRIVAL TIME shifts with log(eps))
+    scaling = {}
+    for tag, vals in sorted(by_eps.items()):
+        sat = [curves[n][-1] for n in curves
+               if n.startswith(tag + "_s")]
+        scaling[tag] = {
+            "n_seeds": len(vals),
+            "final_psnr_lo_hi": [float(min(vals)), float(max(vals))],
+            "spread_db": float(max(vals) - min(vals)),
+            "final_rel_distance_lo_hi": [min(sat), max(sat)] if sat else None,
+        }
+    if scaling:
+        report["eps_scaling"] = scaling
+    ours_finals = [float(r["psnrs"][-1]) for name, r in runs.items()
+                   if name.startswith("ours")]
+    if ours_finals:
+        report["ours_cloud_lo_hi"] = [float(min(ours_finals)),
+                                      float(max(ours_finals))]
+        report["ours_cloud_n"] = len(ours_finals)
+        if finals:
+            lo = max(min(finals), min(ours_finals))
+            hi = min(max(finals), max(ours_finals))
+            report["clouds_overlap"] = bool(lo <= hi)
+            if lo <= hi:
+                report["clouds_overlap_db"] = float(hi - lo)
+    resync_p = os.path.join(outdir, "resync.json")
+    if os.path.exists(resync_p):
+        with open(resync_p) as fh:
+            rs = json.load(fh)
+        report["resync_worst_max_abs"] = rs["worst_max_abs"]
+        report["resync_all_within_same_tolerance"] = (
+            rs["all_calls_within_same_tolerance"])
     report["divergence_curves"] = curves
     return report
 
@@ -220,11 +357,29 @@ def main(argv=None) -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--out", default="/tmp/a2_study")
     p.add_argument("--iters", type=int, default=50)
-    p.add_argument("--eps_seeds", type=int, default=4)
+    p.add_argument("--eps_seeds", type=int, default=6,
+                   help="perturbation seeds PER eps level")
+    p.add_argument("--eps_levels", default="1e-8,1e-7,1e-6",
+                   help="comma list of perturbation magnitudes")
+    p.add_argument("--parallel", type=int, default=3,
+                   help="concurrent reference processes")
     p.add_argument("--analyze", default=None)
     p.add_argument("--skip_ref", action="store_true")
     p.add_argument("--skip_ours", action="store_true")
+    p.add_argument("--resync", action="store_true",
+                   help="run the per-iteration resync study (needs the "
+                        "base run saved with v/z trajectories)")
+    p.add_argument("--ours_one", default=None, metavar="EPS:SEED:OUT",
+                   help="internal: run one perturbed OUR trajectory")
+    p.add_argument("--ours_seeds", type=int, default=0,
+                   help="perturbed OUR runs (eps=1e-6) for the endpoint-"
+                        "cloud comparison, run --parallel at a time")
     args = p.parse_args(argv)
+
+    if args.ours_one:
+        eps_s, seed_s, out_npz = args.ours_one.split(":", 2)
+        run_ours(args.iters, out_npz, eps=float(eps_s), seed=int(seed_s))
+        return 0
 
     if args.analyze:
         print(json.dumps(analyze(args.analyze), indent=1))
@@ -233,12 +388,49 @@ def main(argv=None) -> int:
     os.makedirs(args.out, exist_ok=True)
     scratch = os.path.join(args.out, "scratch")
     build_scratch(scratch)
+    base_npz = os.path.join(args.out, "ref_base.npz")
     if not args.skip_ref:
-        run_reference(scratch, args.iters, 0.0, 0,
-                      os.path.join(args.out, "ref_base.npz"))
-        for s in range(args.eps_seeds):
-            run_reference(scratch, args.iters, 1e-6, 100 + s,
-                          os.path.join(args.out, f"ref_eps1e6_s{s}.npz"))
+        need_vz = args.resync
+        if not os.path.exists(base_npz) or need_vz:
+            run_reference(scratch, args.iters, 0.0, 0, base_npz,
+                          save_vz=need_vz)
+        jobs = []
+        for lvl in args.eps_levels.split(","):
+            eps = float(lvl)
+            for s in range(args.eps_seeds):
+                out_npz = os.path.join(
+                    args.out, f"ref_eps{eps:.0e}_s{s}.npz".replace("e-0", "e-"))
+                if not os.path.exists(out_npz):
+                    jobs.append((eps, 100 + s, out_npz))
+        run_reference_pool(scratch, args.iters, jobs,
+                           max_parallel=args.parallel)
+    if args.resync:
+        run_resync(base_npz, os.path.join(args.out, "resync.json"))
+    if args.ours_seeds:
+        jobs = []
+        for s in range(args.ours_seeds):
+            out_npz = os.path.join(args.out, f"ours_eps1e-6_s{s}.npz")
+            if not os.path.exists(out_npz):
+                jobs.append((1e-6, 200 + s, out_npz))
+        pending = list(jobs)
+        running: list = []
+        while pending or running:
+            while pending and len(running) < args.parallel:
+                eps, seed, out_npz = pending.pop(0)
+                proc = subprocess.Popen(
+                    [sys.executable, __file__, "--iters", str(args.iters),
+                     "--ours_one", f"{eps}:{seed}:{out_npz}"],
+                    stdout=subprocess.DEVNULL)
+                running.append((proc, out_npz))
+            done = [r for r in running if r[0].poll() is not None]
+            for proc, out_npz in done:
+                if proc.returncode != 0:
+                    raise RuntimeError(f"ours run failed: {out_npz}")
+                print(f"done {out_npz}", flush=True)
+            running = [r for r in running if r[0].poll() is None]
+            if running:
+                import time as _t
+                _t.sleep(10)
     if not args.skip_ours:
         run_ours(args.iters, os.path.join(args.out, "ours_f64.npz"))
     print(json.dumps(analyze(args.out), indent=1))

@@ -128,6 +128,29 @@ class TestBM3D:
         single = den(v[0], 0)
         np.testing.assert_allclose(np.asarray(out[0]), np.asarray(single), atol=1e-6)
 
+    def test_chunked_vmap_batching_matches_per_image(self, rng):
+        """The vmapped batch path (batch_chunk>1, the TPU default) gives
+        the same output as the sequential per-image lax.map path,
+        including a batch that is not a multiple of the chunk (padding
+        must be dropped, not leak)."""
+        from pnp_admm_cnc_mri_tpu.priors import bm3d_prior
+
+        v = jnp.asarray(rng.random((3, 48, 48)).astype(np.float32))
+        den_seq = bm3d_prior.make_bm3d_denoiser(noise_var=0.01, batch_chunk=1)
+        den_vec = bm3d_prior.make_bm3d_denoiser(noise_var=0.01, batch_chunk=2)
+        np.testing.assert_allclose(np.asarray(den_vec(v, 0)),
+                                   np.asarray(den_seq(v, 0)), atol=2e-6)
+
+    def test_chunked_ladder_batching_matches_per_image(self, rng):
+        from pnp_admm_cnc_mri_tpu.priors import bm3d_prior
+
+        v = jnp.asarray(rng.random((4, 48, 48)).astype(np.float32))
+        sig = [0.12, 0.08]
+        den_seq = bm3d_prior.make_bm3d_ladder_denoiser(sig, batch_chunk=1)
+        den_vec = bm3d_prior.make_bm3d_ladder_denoiser(sig, batch_chunk=4)
+        np.testing.assert_allclose(np.asarray(den_vec(v, 1)),
+                                   np.asarray(den_seq(v, 1)), atol=2e-6)
+
 
 @pytest.mark.slow
 @pytest.mark.skipif(not os.path.isdir(REF), reason="no reference")

@@ -182,3 +182,80 @@ class TestCleanCorpusGenerators:
         center = p[:, 36:60, 36:60]
         assert float(border.mean()) < 0.1
         assert float(center.mean()) > 0.25
+
+
+class TestSynthOnDevice:
+    """On-device procedural generators (train/synth.py) + stream trainer."""
+
+    def test_jax_generators_shapes_range_determinism(self):
+        import jax
+        import jax.numpy as jnp
+
+        from pnp_admm_cnc_mri_tpu.train import synth
+
+        key = jax.random.PRNGKey(3)
+        for fn, kw in [
+            (synth.dead_leaves, dict(n=2, size=64, n_disks=200)),
+            (synth.gaussian_fields, dict(n=2, size=64)),
+            (synth.mri_phantoms, dict(n=2, size=64)),
+        ]:
+            a = np.asarray(fn(key, **kw))
+            b = np.asarray(fn(key, **kw))
+            assert a.shape == (2, 64, 64)
+            assert float(a.min()) >= 0.0 and float(a.max()) <= 1.0
+            np.testing.assert_array_equal(a, b)  # keyed => reproducible
+            assert float(a.std()) > 0.01
+
+    def test_generator_mixture_jits_and_permutes(self):
+        import jax
+
+        from pnp_admm_cnc_mri_tpu.train import synth
+
+        gen = synth.make_generator(size=64, n_disks=150)
+        buf = jax.jit(lambda k: gen(k, 8))(jax.random.PRNGKey(0))
+        assert buf.shape == (8, 64, 64)
+        buf2 = jax.jit(lambda k: gen(k, 8))(jax.random.PRNGKey(1))
+        assert float(np.abs(np.asarray(buf) - np.asarray(buf2)).max()) > 0.01
+
+    def test_elastic_warps_cover_seed_statistics(self):
+        import jax
+        import jax.numpy as jnp
+
+        from pnp_admm_cnc_mri_tpu.train import synth
+
+        rng = np.random.default_rng(0)
+        seeds = jnp.asarray(rng.random((2, 96, 96)), jnp.float32)
+        w = np.asarray(synth.elastic_warps(jax.random.PRNGKey(0), seeds, 3,
+                                           size=64))
+        assert w.shape == (3, 64, 64)
+        assert float(w.min()) >= 0.0 and float(w.max()) <= 1.0
+        assert float(w.std()) > 0.05
+
+    def test_stream_trainer_loss_decreases(self):
+        from pnp_admm_cnc_mri_tpu.models.dncnn import DnCNN
+        from pnp_admm_cnc_mri_tpu.train import synth, trainer
+
+        model = DnCNN(out_nc=1, nc=8, nb=3)
+        gen = synth.make_generator(size=48, n_disks=100)
+        params, losses = trainer.train_denoiser_stream(
+            model, gen, 25 / 255.0, steps=60, batch_size=8, patch=24,
+            buffer_images=16, refresh_every=30, scan_steps=10,
+            log_every=10, seed=0,
+            cfg=trainer.TrainConfig(learning_rate=1e-3),
+        )
+        assert losses[-1][1] < losses[0][1]
+
+    def test_stream_trainer_fixed_buffer_is_scaling_knob(self):
+        """refresh_every=0 freezes the first buffer (corpus-size point)."""
+        from pnp_admm_cnc_mri_tpu.models.dncnn import DnCNN
+        from pnp_admm_cnc_mri_tpu.train import synth, trainer
+
+        model = DnCNN(out_nc=1, nc=8, nb=2)
+        gen = synth.make_generator(size=48, n_disks=100)
+        params, losses = trainer.train_denoiser_stream(
+            model, gen, 25 / 255.0, steps=20, batch_size=4, patch=24,
+            buffer_images=8, refresh_every=0, scan_steps=1, ema_decay=0.99,
+            log_every=5, seed=0,
+            cfg=trainer.TrainConfig(learning_rate=1e-3),
+        )
+        assert len(losses) >= 3
