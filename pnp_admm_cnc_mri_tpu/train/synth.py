@@ -260,11 +260,27 @@ def load_warp_seeds(include_photos: bool = True,
         return None
     seeds = []
     for n in names:
-        im = imgs[n]
+        im = np.asarray(imgs[n], np.float32)
         h, w = im.shape[:2]
         s = min(h, w)
         im = im[(h - s) // 2:(h - s) // 2 + s, (w - s) // 2:(w - s) // 2 + s]
-        seeds.append(np.asarray(
-            jax.image.resize(jnp.asarray(im, jnp.float32), (side, side),
-                             "linear")))
-    return jnp.asarray(np.stack(seeds), jnp.float32)
+        # resize on HOST (numpy bilinear) — a jax.image.resize here would
+        # ship the raw image over the axon link, which stalls on MB-scale
+        # transfers
+        yi = np.linspace(0, s - 1, side)
+        xi = np.linspace(0, s - 1, side)
+        y0 = np.clip(yi.astype(int), 0, s - 2)
+        x0 = np.clip(xi.astype(int), 0, s - 2)
+        wy = (yi - y0)[:, None]
+        wx = (xi - x0)[None, :]
+        a = im[np.ix_(y0, x0)]
+        b = im[np.ix_(y0, x0 + 1)]
+        c = im[np.ix_(y0 + 1, x0)]
+        d = im[np.ix_(y0 + 1, x0 + 1)]
+        seeds.append((a * (1 - wy) * (1 - wx) + b * (1 - wy) * wx
+                      + c * wy * (1 - wx) + d * wy * wx).astype(np.float32))
+    stack = np.stack(seeds)
+    # chunked host->device staging (axon: MB-scale single transfers stall)
+    from pnp_admm_cnc_mri_tpu.train.trainer import stage_to_device
+
+    return stage_to_device(stack)
