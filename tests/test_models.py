@@ -169,3 +169,68 @@ class TestDescribe:
         # torch-style unbiased std: std([1,2,3], ddof=1) == 1.0
         assert " |  2.000 |  1.000 |  3.000 |  1.000 || w" in msg
         assert "param_name" in msg
+
+
+class TestTDNet:
+    """TDNet (models/tdnet.py) — the MXU-shaped prior for the non-parity
+    pipelines (no reference counterpart; VERDICT r2 #4)."""
+
+    def test_shapes_including_odd(self):
+        import jax
+        import jax.numpy as jnp
+
+        from pnp_admm_cnc_mri_tpu.models.tdnet import TDNet
+
+        m = TDNet(nc=16, nb=4)
+        p = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 1)),
+                   jnp.asarray(0.1))
+        for shape in [(2, 32, 32, 1), (1, 33, 31, 1)]:
+            out = m.apply(p, jnp.ones(shape) * 0.5, jnp.asarray(0.1))
+            assert out.shape == shape
+
+    def test_residual_structure(self):
+        """Output = input - PixelShuffle(net): with the tail conv zeroed
+        the model is the identity."""
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from pnp_admm_cnc_mri_tpu.models.tdnet import TDNet
+
+        m = TDNet(nc=16, nb=4)
+        x = jnp.asarray(np.random.default_rng(0).random((1, 16, 16, 1)),
+                        jnp.float32)
+        p = m.init(jax.random.PRNGKey(0), x, jnp.asarray(0.1))
+        zeroed = jax.tree_util.tree_map_with_path(
+            lambda path, a: jnp.zeros_like(a)
+            if any(getattr(k, "key", None) == "tail" for k in path) else a,
+            p)
+        out = m.apply(zeroed, x, jnp.asarray(0.1))
+        np.testing.assert_allclose(np.asarray(out), np.asarray(x), atol=1e-6)
+
+    def test_sigma_conditioning_changes_output(self):
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from pnp_admm_cnc_mri_tpu.models.tdnet import TDNet
+
+        m = TDNet(nc=16, nb=4)
+        x = jnp.ones((1, 16, 16, 1)) * 0.5
+        p = m.init(jax.random.PRNGKey(1), x, jnp.asarray(0.1))
+        a = m.apply(p, x, jnp.asarray(0.05))
+        b = m.apply(p, x, jnp.asarray(0.45))
+        assert float(jnp.abs(a - b).max()) > 1e-6
+
+    def test_adapter_ladder_and_batch_axes(self):
+        import jax.numpy as jnp
+        import warnings
+
+        from pnp_admm_cnc_mri_tpu.priors import denoiser as dn
+
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            d = dn.build_denoiser("tdnet", nc=16, nb=4, iter_num=8)
+        v = jnp.ones((3, 2, 24, 24)) * 0.5  # folded leading axes
+        out = d(v, 2)
+        assert out.shape == v.shape
