@@ -185,6 +185,20 @@ def main(argv=None) -> int:
     ips, dt, ex = timed(fn, (small, m), args.iter_num, small.shape[0])
     record("pnp_fista_dncnn17", ips, dt, {"batch": int(small.shape[0]), **ex})
 
+    # TDNet (the MXU-shaped nc=128 prior, models/tdnet.py) in the same
+    # ADMM loop as pnp_dncnn17 — the VERDICT r2 #4 throughput comparison
+    import warnings as _w
+
+    with _w.catch_warnings():
+        _w.simplefilter("ignore")
+        den_td = dn.build_denoiser("tdnet", iter_num=args.iter_num)
+    fn = jax.jit(
+        lambda y, m: admm.pnp_admm_l1(
+            y, m, cfg_d, den_td, dtype=jnp.float32)[0].x.mean()
+    )
+    ips, dt, ex = timed(fn, (small, m), args.iter_num, small.shape[0])
+    record("pnp_tdnet", ips, dt, {"batch": int(small.shape[0]), **ex})
+
     # PnP-HQS (DPIR ladder solver; same DnCNN prior)
     from pnp_admm_cnc_mri_tpu.solvers import hqs as hqs_mod
 
