@@ -176,6 +176,26 @@ class TestConsensusHQS:
         np.testing.assert_allclose(np.asarray(z_s), np.asarray(z_b),
                                    rtol=2e-5, atol=1e-6)
 
+    def test_sharded_alphas_override_matches_batched(self, rng):
+        """The sharded variant honors an explicit alphas ladder (the
+        checkpoint/resume path) identically to the batched one."""
+        if len(jax.devices()) < 4:
+            pytest.skip("needs 4 devices")
+        from pnp_admm_cnc_mri_tpu.ops import prox as prox_mod
+
+        img, masks, ys = _multi_mask_scenario(rng, n_obs=8)
+        denoise = lambda u, i: prox_mod.soft(u, 2e-3)
+        alphas = np.linspace(0.9, 0.1, 7)
+        z_b = consensus.run_consensus_hqs(
+            jnp.asarray(ys, jnp.complex64), jnp.asarray(masks, jnp.float32),
+            iter_num=7, denoise=denoise, alphas=alphas)
+        mesh = mesh_lib.make_mesh(n_data=4, devices=jax.devices()[:4])
+        z_s = consensus.run_consensus_hqs_sharded(
+            jnp.asarray(ys, jnp.complex64), jnp.asarray(masks, jnp.float32),
+            iter_num=7, denoise=denoise, mesh=mesh, alphas=alphas)
+        np.testing.assert_allclose(np.asarray(z_s), np.asarray(z_b),
+                                   rtol=2e-5, atol=1e-6)
+
     def test_single_obs_reduces_to_hqs(self, rng):
         """N=1 must be EXACTLY the single-mask ladder solve of
         solvers.hqs.pnp_hqs (same reference convention La2 = alpha,
