@@ -80,6 +80,14 @@ def main(argv=None) -> int:
                         ">0 = effectively infinite stream)")
     p.add_argument("--synth_disks", type=int, default=600,
                    help="dead-leaves disk count per image (--synth)")
+    p.add_argument("--distill", default=None,
+                   help="npz of a DRUNet (UNetRes) teacher: the student "
+                        "regresses the teacher's output on the same noisy "
+                        "batch (synth stream only) — an MXU-shaped student "
+                        "inherits the teacher's prior on unlimited data")
+    p.add_argument("--distill_weight", type=float, default=0.7,
+                   help="loss blend: w*MSE(student,teacher) + "
+                        "(1-w)*MSE(student,clean)")
     args = p.parse_args(argv)
 
     import jax
@@ -254,6 +262,18 @@ def main(argv=None) -> int:
     if args.synth:
         from pnp_admm_cnc_mri_tpu.train import synth as synth_mod
 
+        teacher_apply = teacher_params = None
+        if args.distill:
+            import jax.numpy as jnp
+
+            teacher = UNetRes(out_nc=1, nc=(64, 128, 256, 512), nb=4)
+            teacher_params = convert.load_npz(args.distill)
+
+            def teacher_apply(tp, noisy, sig):
+                sm = jnp.broadcast_to(sig, noisy.shape)
+                return teacher.apply(tp, jnp.concatenate([noisy, sm],
+                                                         axis=-1))
+
         generator = synth_mod.make_generator(
             size=args.synth_size, seeds=synth_mod.load_warp_seeds(),
             n_disks=args.synth_disks)
@@ -264,7 +284,9 @@ def main(argv=None) -> int:
             conditioned=conditioned, ffdnet_style=ffdnet_style,
             params=init_params, ckpt_cb=ckpt_cb,
             ckpt_every=args.ckpt_every, ema_decay=args.ema,
-            scan_steps=args.scan_steps,
+            scan_steps=args.scan_steps, teacher_apply=teacher_apply,
+            teacher_params=teacher_params,
+            distill_weight=args.distill_weight,
         )
     elif args.ondevice:
         params, losses = trainer.train_denoiser_ondevice(

@@ -207,6 +207,9 @@ def train_denoiser_stream(
     ckpt_every: int = 0,
     ema_decay: Optional[float] = None,
     scan_steps: int = 1,
+    teacher_apply: Optional[Callable] = None,
+    teacher_params: Any = None,
+    distill_weight: float = 1.0,
 ):
     """Train on an ON-DEVICE procedural corpus (``train.synth``).
 
@@ -219,6 +222,14 @@ def train_denoiser_stream(
     first buffer, making ``buffer_images`` the corpus-size knob for
     scaling studies. ZERO image bytes cross the host<->device link either
     way (only loss scalars and checkpoints).
+
+    Distillation (``teacher_apply(teacher_params, noisy, sig) -> target``
+    given): the loss becomes ``distill_weight`` x MSE(student, teacher) +
+    ``(1-distill_weight)`` x MSE(student, clean). The teacher sees the
+    SAME noisy batch (stop-gradient), so a student with a cheaper (MXU-
+    shaped) architecture inherits the teacher's learned prior on an
+    unlimited synthetic stream. ``teacher_params`` ride through the jit
+    as arguments (axon rule: no closed-over device constants).
     """
     rng = jax.random.PRNGKey(seed)
     in_nc = 2 if conditioned else 1
@@ -233,11 +244,36 @@ def train_denoiser_stream(
     opt_state = optimizer.init(params)
 
     if ffdnet_style:
-        def loss_fn(params, noisy, clean, sigma):
-            pred = model.apply(params, noisy, sigma[:, 0, 0, 0])
+        def student_pred(params, noisy, sig):
+            return model.apply(params, noisy, sig[:, 0, 0, 0])
+    elif conditioned:
+        def student_pred(params, noisy, sig):
+            sm = jnp.broadcast_to(sig, noisy.shape)
+            return model.apply(params, jnp.concatenate([noisy, sm], axis=-1))
+    else:
+        def student_pred(params, noisy, sig):
+            return model.apply(params, noisy)
+
+    if teacher_apply is not None:
+        w_d = float(distill_weight)
+
+        def loss_fn(params, tparams, noisy, clean, sig):
+            pred = student_pred(params, noisy, sig)
+            tgt = jax.lax.stop_gradient(teacher_apply(tparams, noisy, sig))
+            l_distill = 0.5 * jnp.mean((pred - tgt) ** 2)
+            l_clean = 0.5 * jnp.mean((pred - clean) ** 2)
+            return w_d * l_distill + (1.0 - w_d) * l_clean
+    elif ffdnet_style:
+        def loss_fn(params, tparams, noisy, clean, sig):
+            del tparams
+            pred = student_pred(params, noisy, sig)
             return 0.5 * jnp.mean((pred - clean) ** 2)
     else:
-        loss_fn = make_loss_fn(model.apply, cfg.loss, conditioned)
+        base_loss = make_loss_fn(model.apply, cfg.loss, conditioned)
+
+        def loss_fn(params, tparams, noisy, clean, sig):
+            del tparams
+            return base_loss(params, noisy, clean, sig)
 
     lo, hi = sigma if isinstance(sigma, tuple) else (sigma, sigma)
 
@@ -247,7 +283,7 @@ def train_denoiser_stream(
         return jax.lax.dynamic_slice(img, (top, left), (patch, patch))
 
     @jax.jit
-    def fused_step(params, opt_state, ema, buffer, key):
+    def fused_step(params, opt_state, ema, buffer, key, tparams):
         k_idx, k_top, k_left, k_aug, k_sig, k_noise = jax.random.split(key, 6)
         n_buf, gen = buffer.shape[0], buffer.shape[1]
         idx = jax.random.randint(k_idx, (batch_size,), 0, n_buf)
@@ -260,7 +296,8 @@ def train_denoiser_stream(
             k_sig, (batch_size, 1, 1, 1), jnp.float32, lo, hi)
         noisy = clean + sig * jax.random.normal(k_noise, clean.shape,
                                                 jnp.float32)
-        loss, grads = jax.value_and_grad(loss_fn)(params, noisy, clean, sig)
+        loss, grads = jax.value_and_grad(loss_fn)(params, tparams, noisy,
+                                                  clean, sig)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         if ema_decay is not None:
@@ -270,11 +307,11 @@ def train_denoiser_stream(
         return params, opt_state, ema, loss
 
     @jax.jit
-    def mega_step(params, opt_state, ema, buffer, key):
+    def mega_step(params, opt_state, ema, buffer, key, tparams):
         def body(carry, sub):
             params, opt_state, ema = carry
             params, opt_state, ema, loss = fused_step(
-                params, opt_state, ema, buffer, sub)
+                params, opt_state, ema, buffer, sub, tparams)
             return (params, opt_state, ema), loss
 
         subs = jax.random.split(key, scan_steps)
@@ -285,6 +322,10 @@ def train_denoiser_stream(
     key = jax.random.PRNGKey(seed + 1)
     key, kb = jax.random.split(key)
     buffer = gen_jit(kb)
+    if teacher_apply is not None:
+        # one-time device staging; thereafter the tree rides the jit calls
+        teacher_params = jax.tree.map(
+            lambda a: jnp.asarray(a, jnp.float32), teacher_params)
     ema = params if ema_decay is not None else None
     out = lambda: ema if ema_decay is not None else params
     losses = []
@@ -294,14 +335,14 @@ def train_denoiser_stream(
         key, sub = jax.random.split(key)
         if scan_steps > 1:
             params, opt_state, ema, ls = mega_step(
-                params, opt_state, ema, buffer, sub)
+                params, opt_state, ema, buffer, sub, teacher_params)
             ls = np.asarray(jax.device_get(ls))
             for j in range(0, scan_steps, max(1, log_every)):
                 losses.append((done + j, float(ls[j])))
             done += scan_steps
         else:
             params, opt_state, ema, loss = fused_step(
-                params, opt_state, ema, buffer, sub)
+                params, opt_state, ema, buffer, sub, teacher_params)
             if done % log_every == 0:
                 losses.append((done, float(loss)))
             done += 1
