@@ -121,6 +121,11 @@ TUNED_CONSENSUS_D = {
 # single-mask clean numbers.
 TUNED_FISTA_D = {
     "drunet_gray": dict(iter_num=30, nlm=12.0, model_sigma1=15.0, x8=True),  # 31.50 (31.40 no-x8)
+    "tdnet": dict(iter_num=30, nlm=10.0, model_sigma1=15.0, x8=True),  # 31.26
+    # (31.18 no-x8) set1 / 32.45 full set — the MXU-shaped nc=128 student
+    # (models/tdnet.py) distilled from the clean drunet teacher on the
+    # infinite synth stream (results/tdnet_sweep.jsonl); beats every clean
+    # CNN prior except its teacher, at a fraction of the conv cost
     "ffdnet_gray": dict(iter_num=30, nlm=11.0),   # 31.22
     "fdncnn_gray": dict(iter_num=30, nlm=10.0),   # 31.15
     "ircnn_gray": dict(iter_num=30, nlm=12.0),    # 31.00

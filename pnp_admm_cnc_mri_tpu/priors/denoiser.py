@@ -331,10 +331,14 @@ def build_denoiser(
                                   allow_random=allow_random_init,
                                   dtype=param_dtype, ffdnet=True)
         params = _maybe_cast(params)
+        use_x8 = bool(x8) if x8 is not None else False
 
         def denoise(v, i):
             x, restore = _as_nhwc(v, compute_dtype)
-            return restore(model.apply(params, x, sigmas_d[i]))
+            core = lambda xx: model.apply(params, xx, sigmas_d[i])
+            if use_x8:
+                return restore(x8_ensemble(core, x))
+            return restore(core(x))
 
         return denoise
 
