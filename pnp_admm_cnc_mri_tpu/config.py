@@ -170,6 +170,9 @@ TUNED_RED_D = {
 # consensus-ADMM clean by 1-1.9 dB per family.
 TUNED_CONSENSUS_FISTA = {
     "drunet_gray": dict(iter_num=30, nlm=12.0, model_sigma1=15.0, x8=True),  # 32.28
+    "tdnet": dict(iter_num=30, nlm=12.0, model_sigma1=15.0, x8=True),  # 32.20
+    # set1 (distilled MXU student — above ircnn/fdncnn/ffdnet, behind its
+    # teacher only; results/tdnet_sweep.jsonl)
     "ircnn_gray": dict(iter_num=30, nlm=12.0),    # 32.15
     "fdncnn_gray": dict(iter_num=30, nlm=12.0),   # 32.11
     "ffdnet_gray": dict(iter_num=30, nlm=13.0),   # 32.12 (the union's
