@@ -120,7 +120,11 @@ TUNED_CONSENSUS_D = {
 # 31.50 vs 31.02, ffdnet 31.22 vs 30.76 — the framework's best
 # single-mask clean numbers.
 TUNED_FISTA_D = {
-    "drunet_gray": dict(iter_num=30, nlm=12.0, model_sigma1=15.0, x8=True),  # 31.50 (31.40 no-x8)
+    "drunet_gray": dict(iter_num=30, nlm=12.0, model_sigma1=15.0, x8=True),  # 31.55
+    # set1 / 32.77 full set with the round-3 self-distilled clean weights
+    # (stream-distilled from the r2 incumbent, scripts/train_round16_r3.sh;
+    # the r2 incumbent scored 31.50/32.66 and is archived as
+    # model_zoo/drunet_gray_clean_r2.npz)
     "tdnet": dict(iter_num=30, nlm=10.0, model_sigma1=15.0, x8=True),  # 31.26
     # (31.18 no-x8) set1 / 32.45 full set — the MXU-shaped nc=128 student
     # (models/tdnet.py) distilled from the clean drunet teacher on the
@@ -169,7 +173,9 @@ TUNED_RED_D = {
 # across all three reference masks jointly, CLEAN weights. Beats
 # consensus-ADMM clean by 1-1.9 dB per family.
 TUNED_CONSENSUS_FISTA = {
-    "drunet_gray": dict(iter_num=30, nlm=12.0, model_sigma1=15.0, x8=True),  # 32.28
+    "drunet_gray": dict(iter_num=30, nlm=12.0, model_sigma1=15.0, x8=True),  # 32.32
+    # set1 / 33.44 full set with the round-3 self-distilled clean weights
+    # (r2 incumbent: 32.28/33.31)
     "tdnet": dict(iter_num=30, nlm=12.0, model_sigma1=15.0, x8=True),  # 32.20
     # set1 (distilled MXU student — above ircnn/fdncnn/ffdnet, behind its
     # teacher only; results/tdnet_sweep.jsonl)
