@@ -234,3 +234,34 @@ class TestTDNet:
         v = jnp.ones((3, 2, 24, 24)) * 0.5  # folded leading axes
         out = d(v, 2)
         assert out.shape == v.shape
+
+    def test_adapter_x8_ensemble_averages_dihedral_orbit(self):
+        """x8=True must equal the hand-rolled 8-transform average of the
+        plain adapter (same params), and differ from it on asymmetric
+        input — mirrors the drunet adapter's x8 contract."""
+        import warnings
+
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from pnp_admm_cnc_mri_tpu.priors import denoiser as dn
+
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            plain = dn.build_denoiser("tdnet", nc=16, nb=4, iter_num=8)
+            # same seed => same random params for both adapters
+            ens = dn.build_denoiser("tdnet", nc=16, nb=4, iter_num=8,
+                                    x8=True)
+        v = jnp.asarray(
+            np.random.default_rng(0).random((1, 24, 24)), jnp.float32)
+        want = sum(
+            dn._augment(
+                plain(dn._augment(v, m, axes=(-2, -1)), 3),
+                int(dn.INVERSE_MODE[m]), axes=(-2, -1))
+            for m in range(8)
+        ) / 8.0
+        got = ens(v, 3)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=0, atol=1e-5)
+        assert float(jnp.abs(got - plain(v, 3)).max()) > 1e-6
