@@ -101,7 +101,24 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no_x8", action="store_true", help="force x8 off")
     p.add_argument("--f64", action="store_true", help="float64 (CPU parity mode)")
     p.add_argument("--cpu", action="store_true", help="force CPU backend")
+    p.add_argument("--nc", type=int, default=None,
+                   help="override the denoiser conv width (custom-width "
+                        "checkpoints, e.g. tdnet variants)")
+    p.add_argument("--nb", type=int, default=None,
+                   help="override the denoiser depth (custom-depth "
+                        "checkpoints)")
     return p
+
+
+def _arch_overrides(args) -> dict:
+    """--nc/--nb overrides for build_denoiser (custom-architecture
+    checkpoints; parity models keep their fixed defaults when unset)."""
+    kw = {}
+    if getattr(args, "nc", None):
+        kw["nc"] = args.nc
+    if getattr(args, "nb", None):
+        kw["nb"] = args.nb
+    return kw
 
 
 def _warn_bm3d_ignored(args) -> None:
@@ -230,6 +247,7 @@ def main(argv=None) -> int:
                     noise_level_model=denoiser_mod.nlm_for_model(args.model,
                                                                  nlm),
                     **extra_d,
+                    **_arch_overrides(args),
                 )
                 z_prox = lambda v, i: jnp.clip(denoise(v, i), 0.0, 1.0)
             algo_tag = f"consensus_fista_{args.model}"
@@ -269,6 +287,7 @@ def main(argv=None) -> int:
                     noise_level_model=denoiser_mod.nlm_for_model(args.model,
                                                                  nlm),
                     model_sigma1=hqs_ms1,
+                    **_arch_overrides(args),
                 )
             # z_prox stays None: run_consensus_hqs takes `denoise` directly
             # (and clamps internally).
@@ -297,6 +316,7 @@ def main(argv=None) -> int:
                 compute_dtype=jnp.bfloat16 if args.bf16 else None,
                 noise_level_model=denoiser_mod.nlm_for_model(args.model, args.nlm),
                 **extra_d,
+                **_arch_overrides(args),
             )
             z_prox = lambda v, i: jnp.clip(denoise(v, i), 0.0, 1.0)
             algo_tag = f"consensus_d_{args.model}"
@@ -408,6 +428,7 @@ def main(argv=None) -> int:
                 compute_dtype=jnp.bfloat16 if args.bf16 else None,
                 noise_level_model=denoiser_mod.nlm_for_model(args.model, nlm),
                 **extra,
+                **_arch_overrides(args),
             )
         out = experiments.run_pnp_fista(
             denoise, it, step=args.step, dtype=dtype,
@@ -445,6 +466,7 @@ def main(argv=None) -> int:
                 compute_dtype=jnp.bfloat16 if args.bf16 else None,
                 noise_level_model=denoiser_mod.nlm_for_model(args.model, nlm),
                 model_sigma1=ms1,
+                **_arch_overrides(args),
             )
         out = experiments.run_pnp_hqs(
             denoise, it, sigma255=sigma255, model_sigma1=ms1,
@@ -482,6 +504,7 @@ def main(argv=None) -> int:
                 compute_dtype=jnp.bfloat16 if args.bf16 else None,
                 noise_level_model=denoiser_mod.nlm_for_model(args.model, nlm),
                 **extra,
+                **_arch_overrides(args),
             )
         out = experiments.run_red(
             denoise, it, lam=lam, step=args.step, variant=args.red_variant,
@@ -564,6 +587,7 @@ def main(argv=None) -> int:
         denoise = denoiser_mod.build_denoiser(
             args.model, weights=weights, iter_num=cfg.iter_num, x8=x8,
             compute_dtype=cdt, noise_level_model=_nlm_for(args.model), **extra,
+            **_arch_overrides(args),
         )
         denoise2 = None
         if args.model2:
@@ -573,6 +597,7 @@ def main(argv=None) -> int:
                 args.model2, weights=weights2, iter_num=cfg.iter_num, x8=x8,
                 compute_dtype=cdt, noise_level_model=_nlm_for(args.model2),
                 **extra,
+                **_arch_overrides(args),
             )
         out = experiments.run_pnp(
             denoise,
