@@ -199,6 +199,12 @@ def main(argv=None) -> int:
     ips, dt, ex = timed(fn, (small, m), args.iter_num, small.shape[0])
     record("pnp_tdnet", ips, dt, {"batch": int(small.shape[0]), **ex})
 
+    # same prior at the full suite batch: the MXU-shaped stack keeps
+    # scaling where the nc=64 models plateau (batch-64 vs batch-8 row)
+    ips, dt, ex = timed(fn, (y, m), args.iter_num, y.shape[0])
+    record("pnp_tdnet_b%d" % y.shape[0], ips, dt,
+           {"batch": int(y.shape[0]), **ex})
+
     # PnP-HQS (DPIR ladder solver; same DnCNN prior)
     from pnp_admm_cnc_mri_tpu.solvers import hqs as hqs_mod
 

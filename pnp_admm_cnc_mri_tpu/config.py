@@ -146,6 +146,8 @@ TUNED_FISTA_D = {
 # set1/Q_Random30 with the CLEAN weights.
 TUNED_HQS_D = {
     "drunet_gray": dict(iter_num=30, nlm=8.0, sigma255=10.0, x8=True),  # 31.48 (31.32 no-x8)
+    "tdnet": dict(iter_num=30, nlm=8.0, sigma255=10.0, x8=True),  # 31.10
+    # (distilled MXU student; results/tdnet_sweep.jsonl)
     "ffdnet_gray": dict(iter_num=30, nlm=10.0, sigma255=5.0),   # 31.14
     "fdncnn_gray": dict(iter_num=30, nlm=10.0, sigma255=5.0),   # 31.05
     "ircnn_gray": dict(iter_num=30, nlm=8.0, sigma255=5.0),     # 31.20
@@ -161,6 +163,10 @@ TUNED_HQS_D = {
 # Swept on set1/Q_Random30 with the CLEAN weights.
 TUNED_RED_D = {
     "drunet_gray": dict(iter_num=50, lam=0.3, nlm=8.0),
+    "tdnet": dict(iter_num=50, lam=0.3, nlm=20.0),  # 28.36 set1 — the
+    # distilled student's residual scale suits RED's constant-sigma
+    # iteration far less than the ladder solvers (FISTA 31.26, HQS 31.10);
+    # kept for API symmetry (results/tdnet_sweep.jsonl)
     "ffdnet_gray": dict(iter_num=50, lam=0.3, nlm=10.0),
     "fdncnn_gray": dict(iter_num=50, lam=0.3, nlm=10.0),
     "ircnn_gray": dict(iter_num=50, lam=0.3, nlm=10.0),
