@@ -182,7 +182,7 @@ TUNED_CONSENSUS_FISTA = {
     "drunet_gray": dict(iter_num=30, nlm=12.0, model_sigma1=15.0, x8=True),  # 32.32
     # set1 / 33.44 full set with the round-3 self-distilled clean weights
     # (r2 incumbent: 32.28/33.31)
-    "tdnet": dict(iter_num=30, nlm=12.0, model_sigma1=15.0, x8=True),  # 32.20
+    "tdnet": dict(iter_num=30, nlm=12.0, model_sigma1=15.0, x8=True),  # 32.20/33.32
     # set1 (distilled MXU student — above ircnn/fdncnn/ffdnet, behind its
     # teacher only; results/tdnet_sweep.jsonl)
     "ircnn_gray": dict(iter_num=30, nlm=12.0),    # 32.15
