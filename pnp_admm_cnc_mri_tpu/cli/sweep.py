@@ -17,6 +17,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import sys
 import time
 
 
@@ -211,9 +212,14 @@ def main(argv=None) -> int:
     }
     print(json.dumps(summary))
     if args.out:
+        # full sweep argv on every row (VERDICT r3 #5): a row must be
+        # reproducible from its own record, not from shell history
+        prov = list(argv) if argv is not None else sys.argv[1:]
         for lbl, p_, r_ in zip(labels, psnr, rel):
             logger_mod.append_record(
-                args.out, {"scenario": lbl, "psnr": float(p_), "residual": float(r_)}
+                args.out,
+                {"scenario": lbl, "psnr": float(p_), "residual": float(r_),
+                 "argv": prov},
             )
     return 0
 

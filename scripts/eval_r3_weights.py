@@ -62,7 +62,11 @@ def main(argv=None) -> int:
             except Exception as e:  # keep sweeping on individual failures
                 res = {"error": repr(e)}
             row = {"weights": os.path.basename(wpath), "testset": ts,
-                   "model": args.model, "algo": args.algo, **res}
+                   "model": args.model, "algo": args.algo, **res,
+                   # full resolved argv (VERDICT r3 #5): every row must be
+                   # reproducible from its own record — sweeps over --extra
+                   # previously wrote indistinguishable rows
+                   "argv": argv_cli, "weights_path": wpath}
             row.pop("wall_s", None)
             logger_mod.append_record(args.out, row)
             print(json.dumps(row), flush=True)

@@ -192,3 +192,42 @@ class TestCleanWeights:
         out = json.loads(buf.getvalue().strip().splitlines()[-1])
         assert abs(out["psnr"] - 29.684) < 0.05, out
         assert out["iters"] == 4
+
+
+class TestEvalDeterminismAndProvenance:
+    """VERDICT r3 #5: eval rows must be reproducible from their own record,
+    and identical CPU evals must be bitwise-deterministic (promote/reject
+    decisions this round were made on 0.08 dB deltas)."""
+
+    def _run(self, capsys, argv):
+        import json
+
+        from pnp_admm_cnc_mri_tpu.cli import main as cli_main
+
+        assert cli_main.main(argv) == 0
+        return json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    def test_identical_cpu_evals_are_bitwise_equal(self, tmp_path, capsys):
+        argv = [
+            "pnp_fista_d", "--cpu", "--model", "dncnn_25", "--tuned",
+            "--iter_num", "3", "--testset", "set1", "--no_save",
+            "--results_dir", str(tmp_path),
+        ]
+        a = self._run(capsys, argv)
+        b = self._run(capsys, argv)
+        # bitwise: the full-precision repr must match, not just rounded dB
+        assert a["psnr"] == b["psnr"]
+        assert a.get("ssim") == b.get("ssim")
+
+    def test_sweep_rows_carry_full_argv(self, tmp_path):
+        import json
+
+        from pnp_admm_cnc_mri_tpu.cli import sweep as sweep_cli
+
+        out = tmp_path / "rows.jsonl"
+        argv = ["--algo", "admm_l1", "--cpu", "--iter_num", "2",
+                "--testset", "set1", "--masks", "Q_Random30",
+                "--out", str(out)]
+        assert sweep_cli.main(argv) == 0
+        rows = [json.loads(l) for l in out.read_text().splitlines()]
+        assert rows and all(r.get("argv") == argv for r in rows)
