@@ -90,6 +90,10 @@ def score_and_log(
         "psnr": float(psnr.mean()),
         "ssim": float(ssim.mean()),
         "re": float(re.mean()),
+        # per-image values ride the JSON so fold-exclusion protocols can
+        # compose a testset score from several models' held-out images
+        # without re-parsing the .log
+        "per_image_psnr": {n: float(p) for n, p in zip(names, psnr)},
     }
     log.info(
         "------> Average PSNR:({:.3f})dB, Average ssim : ({:.3f}), Average re : ({:.3f})".format(
@@ -226,9 +230,13 @@ def run_fista_l1(
     results_dir: str = "results",
     save_images: bool = True,
     dtype=None,
+    momentum: bool = True,
+    result_tag: Optional[str] = None,
 ) -> Dict[str, float]:
-    """FISTA-L1 over a testset (``solvers/fista.py`` — the accelerated
-    proximal-gradient alternative to ADMM-L1; no reference counterpart)."""
+    """FISTA-L1 (or, with ``momentum=False``, the reference's deleted
+    PGD-L1 / "PGD soft" pipeline, anchor
+    ``/root/reference/results/Set_dn_PGD_L1/Set_dn_PGD_L1.log``) over a
+    testset (``solvers/fista.py``)."""
     import jax
     import jax.numpy as jnp
 
@@ -244,13 +252,14 @@ def run_fista_l1(
 
     t0 = time.perf_counter()
     final, _ = fista.fista_l1(y, mask, iter_num=iter_num, lam=lam, step=step,
-                              dtype=dtype)
+                              momentum=momentum, dtype=dtype)
     x = np.asarray(jax.block_until_ready(final.x))
     dt = time.perf_counter() - t0
 
+    tag = result_tag or ("FISTA_L1" if momentum else "PGD_L1")
     avg = score_and_log(
         x, batch["truth"], batch["names"],
-        f"{testset}_dn_FISTA_L1_{mask_name}", results_dir, save_images,
+        f"{testset}_dn_{tag}_{mask_name}", results_dir, save_images,
     )
     avg.update(wall_s=dt, images=len(batch["names"]), iters=iter_num)
     return avg
@@ -269,10 +278,13 @@ def run_pnp_fista(
     save_images: bool = True,
     result_tag: str = "pnp_fista",
     dtype=None,
+    momentum: bool = True,
 ) -> Dict[str, float]:
     """PnP-FISTA (denoiser prox, ``solvers/fista.pnp_fista``) over a
     testset. With the clean weights this is the framework's best
-    single-mask pipeline (drunet 31.50 dB set1 — TUNED_FISTA_D)."""
+    single-mask pipeline (drunet 31.50 dB set1 — TUNED_FISTA_D).
+    ``momentum=False`` is the reference's deleted PNP-PGD pipeline
+    (``results/Set1_dn_PNP_PGD_L1_BM3D/…log``)."""
     import jax
     import jax.numpy as jnp
 
@@ -288,7 +300,57 @@ def run_pnp_fista(
 
     t0 = time.perf_counter()
     final, _ = fista.pnp_fista(y, mask, iter_num, denoise, step=step,
-                               clamp=clamp, dtype=dtype)
+                               clamp=clamp, dtype=dtype, momentum=momentum)
+    x = np.asarray(jax.block_until_ready(final.x))
+    dt = time.perf_counter() - t0
+
+    avg = score_and_log(
+        x, batch["truth"], batch["names"],
+        f"{testset}_dn_{result_tag}_{mask_name}", results_dir, save_images,
+    )
+    avg.update(wall_s=dt, images=len(batch["names"]), iters=iter_num)
+    return avg
+
+
+def run_pnp_pgd_cnc(
+    denoise: Callable,
+    iter_num: int,
+    denoise2: Optional[Callable] = None,
+    alpha: float = 1.2,
+    lam: float = 0.02,
+    b: float = 36.0,
+    step: float = 1.0,
+    clamp: bool = True,
+    testset: str = "set1",
+    mask_name: str = "Q_Random30",
+    testsets_dir: Optional[str] = None,
+    data_dir: Optional[str] = None,
+    results_dir: str = "results",
+    save_images: bool = True,
+    result_tag: str = "pnp_pgd_cnc",
+    dtype=None,
+) -> Dict[str, float]:
+    """PGD with the CNC double-denoiser prox (``solvers/fista.pnp_pgd_cnc``)
+    — the reference's deleted PNP_PGD_CNC_* pipelines, evidenced by
+    ``results/Set1_dnPGD soft/11_PNP_PGD_CNC_BM3D.png`` and
+    ``results/Set_dn_fdncnn_gray/01PNP_PGD_CNC_D.png``."""
+    import jax
+    import jax.numpy as jnp
+
+    from pnp_admm_cnc_mri_tpu.solvers import fista
+
+    testsets_dir = testsets_dir or images.DEFAULT_TESTSETS
+    batch = prepare_batch(os.path.join(testsets_dir, testset), mask_name, data_dir)
+    if dtype is None:
+        dtype = jnp.float32
+    cdtype = jnp.complex128 if dtype == jnp.float64 else jnp.complex64
+    y = _device_complex(batch["y"], cdtype, dtype)
+    mask = jnp.asarray(np.asarray(batch["mask"]).astype(np.dtype(dtype)))
+
+    t0 = time.perf_counter()
+    final, _ = fista.pnp_pgd_cnc(
+        y, mask, iter_num, denoise, denoise2=denoise2, alpha=alpha,
+        lam=lam, b=b, step=step, clamp=clamp, dtype=dtype)
     x = np.asarray(jax.block_until_ready(final.x))
     dt = time.perf_counter() - t0
 

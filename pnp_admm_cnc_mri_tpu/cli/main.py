@@ -41,6 +41,9 @@ def build_parser() -> argparse.ArgumentParser:
             "pnp_fista_d",
             "pnp_hqs_d",
             "red_d",
+            "pgd_l1",
+            "pnp_pgd_d",
+            "pnp_pgd_cnc",
         ],
     )
     p.add_argument("--red_variant", default="fp", choices=["fp", "gd"],
@@ -394,16 +397,21 @@ def main(argv=None) -> int:
             bf16=args.bf16,
             clean=args.clean,
         )
-    elif args.algo == "fista_l1":
+    elif args.algo in ("fista_l1", "pgd_l1"):
+        momentum = args.algo == "fista_l1"
+        tuned = cfg_mod.TUNED_PGD_L1 if (args.tuned and not momentum) else {}
         out = experiments.run_fista_l1(
-            iter_num=args.iter_num or 50,
-            lam=args.lam if args.lam is not None else 1e-4,
-            step=args.step, dtype=dtype, **common,
+            iter_num=args.iter_num or tuned.get("iter_num", 50),
+            lam=args.lam if args.lam is not None else tuned.get("lam", 1e-4),
+            step=args.step if args.step != 1.0 else tuned.get("step", args.step),
+            momentum=momentum, dtype=dtype, **common,
         )
-    elif args.algo == "pnp_fista_d":
+    elif args.algo in ("pnp_fista_d", "pnp_pgd_d"):
         from pnp_admm_cnc_mri_tpu.priors import denoiser as denoiser_mod
 
-        tuned = cfg_mod.TUNED_FISTA_D.get(args.model, {}) if args.tuned else {}
+        reg = (cfg_mod.TUNED_FISTA_D if args.algo == "pnp_fista_d"
+               else cfg_mod.TUNED_PGD_D)
+        tuned = reg.get(args.model, {}) if args.tuned else {}
         it = args.iter_num or tuned.get("iter_num", 30)
         x8 = args.x8 or (not args.no_x8 and tuned.get("x8", False))
         nlm = args.nlm if args.nlm is not None else tuned.get("nlm")
@@ -430,9 +438,54 @@ def main(argv=None) -> int:
                 **extra,
                 **_arch_overrides(args),
             )
+        tag = "pnp_fista" if args.algo == "pnp_fista_d" else "pnp_pgd"
         out = experiments.run_pnp_fista(
             denoise, it, step=args.step, dtype=dtype,
-            result_tag=f"pnp_fista_{args.model}", **common,
+            momentum=args.algo == "pnp_fista_d",
+            result_tag=f"{tag}_{args.model}", **common,
+        )
+    elif args.algo == "pnp_pgd_cnc":
+        from pnp_admm_cnc_mri_tpu.priors import denoiser as denoiser_mod
+
+        tuned = cfg_mod.TUNED_PGD_CNC.get(args.model, {}) if args.tuned else {}
+        it = args.iter_num or tuned.get("iter_num", 30)
+        x8 = args.x8 or (not args.no_x8 and tuned.get("x8", False))
+        nlm = args.nlm if args.nlm is not None else tuned.get("nlm")
+        alpha = args.alpha if args.alpha is not None else tuned.get("alpha", 1.2)
+        lam = args.lam if args.lam is not None else tuned.get("lam", 0.02)
+        b = args.b if args.b is not None else tuned.get("b", 36.0)
+        if args.model == "bm3d":
+            from pnp_admm_cnc_mri_tpu.priors import bm3d_prior
+
+            _warn_bm3d_ignored(args)
+            denoise = bm3d_prior.make_bm3d_denoiser(
+                noise_var=((nlm if nlm is not None else 15.0) / 255.0) ** 2
+            )
+            denoise2 = None
+        else:
+            ms1 = (args.model_sigma1 if args.model_sigma1 is not None
+                   else tuned.get("model_sigma1"))
+            extra = {"model_sigma1": ms1} if ms1 is not None else {}
+
+            def _build(name, weights):
+                return denoiser_mod.build_denoiser(
+                    name,
+                    weights=denoiser_mod.resolve_weights(name, weights,
+                                                         clean=args.clean),
+                    iter_num=it, x8=x8,
+                    compute_dtype=jnp.bfloat16 if args.bf16 else None,
+                    noise_level_model=denoiser_mod.nlm_for_model(name, nlm),
+                    **extra,
+                    **_arch_overrides(args),
+                )
+
+            denoise = _build(args.model, args.weights)
+            denoise2 = (_build(args.model2, args.weights2)
+                        if args.model2 else None)
+        out = experiments.run_pnp_pgd_cnc(
+            denoise, it, denoise2=denoise2, alpha=alpha, lam=lam, b=b,
+            step=args.step, dtype=dtype,
+            result_tag=f"pnp_pgd_cnc_{args.model}", **common,
         )
     elif args.algo == "pnp_hqs_d":
         from pnp_admm_cnc_mri_tpu.priors import denoiser as denoiser_mod

@@ -86,8 +86,9 @@ def run_fista(
     dtype=jnp.float32,
     collect_objective: bool = False,
     penalty_fn: Optional[Callable[[jnp.ndarray], jnp.ndarray]] = None,
+    prox_takes_prev: bool = False,
 ):
-    """Run ``iter_num`` FISTA (or ISTA with ``momentum=False``) iterations.
+    """Run ``iter_num`` FISTA (or ISTA/PGD with ``momentum=False``) iterations.
 
     Zero-filled magnitude init like the ADMM drivers (reference
     ``【1】ADMM_L1.py:100-105``). Returns ``(final_state, objectives)``
@@ -95,13 +96,22 @@ def run_fista(
     at x plus ``penalty_fn(x)`` when given — for ISTA with ``step <= 1``
     the full objective (data + prox penalty) is monotone non-increasing,
     which the tests pin.
+
+    ``prox_takes_prev``: call ``prox_fn(i, u, x_prev)`` — operators that
+    linearize around the previous iterate (the CNC/GMC composition,
+    ``pnp_pgd_cnc``) need the incumbent x in addition to the gradient
+    point u.
     """
     x0 = jnp.abs(fourier.zero_fill(y)).astype(dtype)
     state = FISTAState(x=x0, v=x0, t=jnp.asarray(1.0, dtype))
 
     def iteration(state: FISTAState, i):
         g = jnp.real(fourier.data_term_gradient(state.v, y, mask)).astype(dtype)
-        x_new = prox_fn(i, state.v - step * g).astype(dtype)
+        u = state.v - step * g
+        if prox_takes_prev:
+            x_new = prox_fn(i, u, state.x).astype(dtype)
+        else:
+            x_new = prox_fn(i, u).astype(dtype)
         if momentum:
             t_new, v_new = fista_extrapolate(state.x, x_new, state.t)
         else:
@@ -154,6 +164,7 @@ def pnp_fista(
     step: float = 1.0,
     clamp: bool = True,
     dtype=jnp.float32,
+    momentum: bool = True,
 ):
     """PnP-FBS / PnP-FISTA: a denoiser as the proximal operator.
 
@@ -168,4 +179,86 @@ def pnp_fista(
         z = denoise(u, i)
         return prox.clip01(z) if clamp else z
 
-    return run_fista(y, mask, iter_num, prox_fn, step=step, dtype=dtype)
+    return run_fista(y, mask, iter_num, prox_fn, step=step, dtype=dtype,
+                     momentum=momentum)
+
+
+def pgd_l1(
+    y: jnp.ndarray,
+    mask: jnp.ndarray,
+    iter_num: int = 50,
+    lam: float = 8e-4,
+    step: float = 1.0,
+    dtype=jnp.float32,
+    collect_objective: bool = False,
+):
+    """Plain proximal-gradient (ISTA) for the L1 problem — momentum off.
+
+    The reference demonstrably ran this family: its results tree records
+    full metric logs for a deleted "PGD soft" entry script
+    (``/root/reference/results/Set_dn_PGD_L1/Set_dn_PGD_L1.log:1-17``,
+    best observed Set average 23.45 dB; ``Set1_dnPGD soft/…log`` sweeps
+    an ``alpha`` step-size knob over 0.4-1.0). This is ``fista_l1`` with
+    the Beck-Teboulle extrapolation disabled; ``step`` plays the
+    reference's ``alpha`` role.
+    """
+    return fista_l1(y, mask, iter_num=iter_num, lam=lam, step=step,
+                    momentum=False, dtype=dtype,
+                    collect_objective=collect_objective)
+
+
+def pnp_pgd(
+    y: jnp.ndarray,
+    mask: jnp.ndarray,
+    iter_num: int,
+    denoise: Callable,
+    step: float = 1.0,
+    clamp: bool = True,
+    dtype=jnp.float32,
+):
+    """PnP-PGD (ISTA with a denoiser prox) — the reference's deleted
+    ``PNP_PGD_L1_BM3D`` pipeline family
+    (``/root/reference/results/Set1_dn_PNP_PGD_L1_BM3D/…log`` 26.01 dB on
+    11.png, ``Set_dn_PNP_PGD_L1_BM3D/…log`` best 24.69 Set average)."""
+    return pnp_fista(y, mask, iter_num, denoise, step=step, clamp=clamp,
+                     dtype=dtype, momentum=False)
+
+
+def pnp_pgd_cnc(
+    y: jnp.ndarray,
+    mask: jnp.ndarray,
+    iter_num: int,
+    denoise1: Callable,
+    denoise2: Optional[Callable] = None,
+    alpha: float = 1.2,
+    lam: float = 0.02,
+    b: float = 36.0,
+    step: float = 1.0,
+    clamp: bool = True,
+    dtype=jnp.float32,
+):
+    """PGD with the CNC (GMC) double-denoiser composition as the prox.
+
+    Evidenced in the reference only by output images
+    (``/root/reference/results/Set1_dnPGD soft/11_PNP_PGD_CNC_BM3D.png``,
+    ``Set_dn_fdncnn_gray/01PNP_PGD_CNC_D.png`` — the entry scripts were
+    deleted before publication). Composition mirrors the ADMM-CNC
+    z-update (``【5】PNP_ADMM_CNC_BM3D .py:133-136``) with the gradient
+    point u = v - step*grad in the ``x + w`` slot and the previous
+    iterate as the GMC linearization point:
+
+        s = D1(x);  t = (1-a) x + a u + a step lam b (x - s);  x' = D2(t)
+
+    (``step`` takes the rho slot of the ADMM correction — in PGD the
+    prox is of step-scaled strength).
+    """
+    d2 = denoise2 if denoise2 is not None else denoise1
+
+    def prox_fn(i, u, x_prev):
+        s = denoise1(x_prev, i)
+        z = prox.cnc_generalized_update(
+            x_prev, u, s, alpha, step, lam, b, lambda t: d2(t, i))
+        return prox.clip01(z) if clamp else z
+
+    return run_fista(y, mask, iter_num, prox_fn, step=step, momentum=False,
+                     dtype=dtype, prox_takes_prev=True)

@@ -170,7 +170,8 @@ class TestCleanWeights:
         # FISTA/HQS registries: all five families + the weight-free bm3d prox
         for reg in (cfg.TUNED_FISTA_D, cfg.TUNED_CONSENSUS_FISTA,
                     cfg.TUNED_HQS_D, cfg.TUNED_RED_D,
-                    cfg.TUNED_CONSENSUS_HQS):
+                    cfg.TUNED_CONSENSUS_HQS, cfg.TUNED_PGD_D,
+                    cfg.TUNED_PGD_CNC):
             for name in ("drunet_gray", "ffdnet_gray", "fdncnn_gray",
                          "ircnn_gray", "dncnn_25", "bm3d"):
                 assert name in reg, (name, reg)
