@@ -165,6 +165,21 @@ def main(argv=None) -> int:
     ips, dt, ex = timed(fn, (y_cons, masks_c), args.iter_num, n_obs)
     record("consensus_l1_4obs", ips, dt, {"batch": n_obs, **ex})
 
+    # BATCHED consensus (round 4): B independent consensus problems in one
+    # program (observation axis -3) — the historical 1-problem rows above
+    # are dispatch/latency-bound at 4x256^2 per iteration; these fill the
+    # chip like the single-mask batch rows. image-iters counts B*N_obs.
+    n_prob = max(1, args.batch // n_obs)
+    y_batched = y[: n_prob * n_obs].reshape(n_prob, n_obs, *y.shape[-2:])
+    fn = jax.jit(
+        lambda ys, ms: cons.run_consensus(ys, ms, cfg_cons,
+                                          dtype=jnp.float32)[0].mean()
+    )
+    ips, dt, ex = timed(fn, (y_batched, masks_c), args.iter_num,
+                        n_prob * n_obs)
+    record(f"consensus_l1_b{n_prob}x{n_obs}obs", ips, dt,
+           {"batch": n_prob * n_obs, **ex})
+
     # PnP with a DnCNN prior (random weights; throughput measurement)
     den = dn.build_denoiser("dncnn_15")
     cfg_d = ADMMConfig(iter_num=args.iter_num, rho=0.15)
@@ -236,6 +251,11 @@ def main(argv=None) -> int:
     ips, dt, ex = timed(fn, (y_cons, masks_c), args.iter_num, n_obs)
     record("consensus_fista_l1_4obs", ips, dt, {"batch": n_obs, **ex})
 
+    ips, dt, ex = timed(fn, (y_batched, masks_c), args.iter_num,
+                        n_prob * n_obs)
+    record(f"consensus_fista_l1_b{n_prob}x{n_obs}obs", ips, dt,
+           {"batch": n_prob * n_obs, **ex})
+
     # consensus-HQS (exact joint data solve, setup-only reductions, L1 prox)
     fn = jax.jit(
         lambda ys, ms: cons.run_consensus_hqs(
@@ -244,6 +264,11 @@ def main(argv=None) -> int:
     )
     ips, dt, ex = timed(fn, (y_cons, masks_c), args.iter_num, n_obs)
     record("consensus_hqs_l1_4obs", ips, dt, {"batch": n_obs, **ex})
+
+    ips, dt, ex = timed(fn, (y_batched, masks_c), args.iter_num,
+                        n_prob * n_obs)
+    record(f"consensus_hqs_l1_b{n_prob}x{n_obs}obs", ips, dt,
+           {"batch": n_prob * n_obs, **ex})
 
     if not args.skip_bm3d:
         cfg_b = ADMMConfig(iter_num=5, rho=0.8)

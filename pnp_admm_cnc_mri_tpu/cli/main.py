@@ -332,34 +332,36 @@ def main(argv=None) -> int:
         import time as _time
 
         t0 = _time.perf_counter()
-        zs = []
         from pnp_admm_cnc_mri_tpu.cli.experiments import _device_complex
 
-        for img in imgs01:
-            ys = np.fft.fft2(img[None], axes=(-2, -1)) * all_masks + kn
-            if args.algo == "consensus_fista_d":
-                z = consensus.run_consensus_fista(
-                    _device_complex(ys, cdt, dtp),
-                    jnp.asarray(all_masks, dtp), fista_iters,
-                    # consensus z_prox is (v, i); fista prox_fn is (i, u)
-                    lambda i, u: z_prox(u, i),
-                    step=args.step, dtype=dtp,
-                )
-            elif args.algo == "consensus_hqs_d":
-                z = consensus.run_consensus_hqs(
-                    _device_complex(ys, cdt, dtp),
-                    jnp.asarray(all_masks, dtp), hqs_iters, denoise,
-                    sigma255=hqs_sigma255, model_sigma1=hqs_ms1,
-                    model_sigma2=hqs_ms2, dtype=dtp,
-                )
-            else:
-                z, _ = consensus.run_consensus(
-                    _device_complex(ys, cdt, dtp), jnp.asarray(all_masks, dtp),
-                    cfg, z_prox=z_prox, dtype=dtp
-                )
-            zs.append(np.asarray(z))
+        # one BATCHED solve for the whole testset (round 4): the
+        # observation axis is -3, so (B, N, H, W) runs as a single
+        # program — B×N images per iteration fill the chip instead of B
+        # sequential 3-observation dispatches
+        ys_all = (np.fft.fft2(imgs01, axes=(-2, -1))[:, None] * all_masks
+                  + kn)
+        ys_d = _device_complex(ys_all, cdt, dtp)
+        if args.algo == "consensus_fista_d":
+            z = consensus.run_consensus_fista(
+                ys_d, jnp.asarray(all_masks, dtp), fista_iters,
+                # consensus z_prox is (v, i); fista prox_fn is (i, u)
+                lambda i, u: z_prox(u, i),
+                step=args.step, dtype=dtp,
+            )
+        elif args.algo == "consensus_hqs_d":
+            z = consensus.run_consensus_hqs(
+                ys_d, jnp.asarray(all_masks, dtp), hqs_iters, denoise,
+                sigma255=hqs_sigma255, model_sigma1=hqs_ms1,
+                model_sigma2=hqs_ms2, dtype=dtp,
+            )
+        else:
+            z, _ = consensus.run_consensus(
+                ys_d, jnp.asarray(all_masks, dtp), cfg, z_prox=z_prox,
+                dtype=dtp
+            )
+        zs = np.asarray(z)
         out = score_and_log(
-            np.stack(zs), truth, names,
+            zs, truth, names,
             f"{args.testset}_dn_{algo_tag}_all_masks", args.results_dir,
             not args.no_save,
         )

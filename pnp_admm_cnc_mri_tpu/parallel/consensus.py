@@ -29,11 +29,17 @@ from pnp_admm_cnc_mri_tpu.ops import fourier, prox
 def consensus_admm_step(z, w, dc, z_prox, i, dtype):
     """One batched consensus-ADMM iteration (shared by ``run_consensus``
     and ``utils.checkpoint.resume_consensus_admm`` so resume semantics
-    cannot desynchronize from the solver)."""
-    x = dc(z[None] - w).astype(dtype)
-    v = jnp.mean(x + w, axis=0)
+    cannot desynchronize from the solver).
+
+    Axis convention (round 4): the observation axis is ``-3`` — a single
+    consensus problem is (N, H, W) as before, and any leading axes are
+    independent problems (a batch of images, each with its own N
+    observations), so the whole testset solves as ONE program that fills
+    the chip like the single-mask batched solvers."""
+    x = dc(z[..., None, :, :] - w).astype(dtype)
+    v = jnp.mean(x + w, axis=-3)
     z_new = z_prox(v, i)
-    w_new = w + x - z_new[None]
+    w_new = w + x - z_new[..., None, :, :]
     return z_new, w_new
 
 
@@ -60,7 +66,7 @@ def run_consensus(
         z_prox = lambda v, i: prox.soft(v, cfg.rho * cfg.lam)
 
     x0 = jnp.abs(fourier.zero_fill(ys)).astype(dtype)
-    z0 = jnp.mean(x0, axis=0)
+    z0 = jnp.mean(x0, axis=-3)
     w0 = jnp.zeros_like(x0)
     dc = fourier.make_rfft_data_consistency(
         ys, masks, cfg.rho, method=fourier.resolve_dc_method(dc_method, ys))
@@ -70,7 +76,7 @@ def run_consensus(
         return consensus_admm_step(z, w, dc, z_prox, i, dtype), None
 
     (z, w), _ = jax.lax.scan(step, (z0, w0), jnp.arange(cfg.iter_num))
-    x = dc(z[None] - w).astype(dtype)
+    x = dc(z[..., None, :, :] - w).astype(dtype)
     if return_state:
         return z, x, w
     return z, x
@@ -131,7 +137,7 @@ def consensus_fista_iteration(state, i, m, ysz, cnt, prox_fn, step, dtype):
     from pnp_admm_cnc_mri_tpu.solvers import fista as fista_mod
 
     vf = fourier.fft2(state.v)
-    res = jnp.sum(m * vf[None] - ysz * m, axis=0) / cnt
+    res = jnp.sum(m * vf[..., None, :, :] - ysz * m, axis=-3) / cnt
     g = jnp.real(fourier.ifft2(res)).astype(dtype)
     x_new = prox_fn(i, state.v - step * g).astype(dtype)
     t_new, v_new = fista_mod.fista_extrapolate(state.x, x_new, state.t)
@@ -143,9 +149,9 @@ def consensus_fista_setup(ys, masks, precondition: bool):
     triple consumed by :func:`consensus_fista_iteration`."""
     m = (masks != 0).astype(ys.real.dtype)
     if precondition:
-        cnt = jnp.maximum(jnp.sum(m, axis=0), 1.0)
+        cnt = jnp.maximum(jnp.sum(m, axis=-3), 1.0)
     else:
-        cnt = jnp.asarray(float(masks.shape[0]), ys.real.dtype)
+        cnt = jnp.asarray(float(masks.shape[-3]), ys.real.dtype)
     ysz = jnp.where(m != 0, ys, 0.0)
     return m, ysz, cnt
 
@@ -185,7 +191,7 @@ def run_consensus_fista(
 
     m, ysz, cnt = consensus_fista_setup(ys, masks, precondition)
 
-    x0 = jnp.mean(jnp.abs(fourier.zero_fill(ysz)), axis=0).astype(dtype)
+    x0 = jnp.mean(jnp.abs(fourier.zero_fill(ysz)), axis=-3).astype(dtype)
     state = fista_mod.FISTAState(x=x0, v=x0, t=jnp.asarray(1.0, dtype))
 
     def iteration(state, i):
@@ -256,8 +262,8 @@ def run_consensus_hqs(
     from pnp_admm_cnc_mri_tpu.ops import schedules
 
     m = (masks != 0).astype(ys.real.dtype)
-    cnt = jnp.sum(m, axis=0)
-    S = jnp.sum(jnp.where(m != 0, ys, 0.0), axis=0)
+    cnt = jnp.sum(m, axis=-3)
+    S = jnp.sum(jnp.where(m != 0, ys, 0.0), axis=-3)
 
     if alphas is None:
         alphas, _sigmas = schedules.get_rho_sigma(

@@ -294,3 +294,53 @@ class TestConsensusHQS:
                 jnp.asarray(masks[i], jnp.float32), **kw)
             errs.append(float(jnp.linalg.norm(zi - img) / np.linalg.norm(img)))
         assert err_c < np.mean(errs)
+
+
+class TestBatchedConsensus:
+    """Round-4 axis convention: observation axis is -3; leading axes are
+    independent consensus problems. Batched == per-image for all three
+    families (this is what lets the testset solve as ONE program and the
+    bench fill the chip — VERDICT r3 #3)."""
+
+    def _problems(self, rng, b=3, n=3, size=32):
+        imgs = rng.random((b, size, size))
+        masks = (rng.random((n, size, size)) < 0.4).astype(np.float64)
+        noise = 0.1 * (rng.normal(size=(size, size))
+                       + 1j * rng.normal(size=(size, size)))
+        ys = np.fft.fft2(imgs, axes=(-2, -1))[:, None] * masks + noise
+        return jnp.asarray(ys), jnp.asarray(masks)
+
+    def test_consensus_admm_batched_equals_per_image(self, rng):
+        from pnp_admm_cnc_mri_tpu.config import ADMMConfig
+
+        ys, masks = self._problems(rng)
+        cfg = ADMMConfig(iter_num=5, lam=0.1, rho=0.05)
+        zb, xb = consensus.run_consensus(ys, masks, cfg, dc_method="fft")
+        assert zb.shape == (3, 32, 32) and xb.shape == (3, 3, 32, 32)
+        for i in range(3):
+            zi, _ = consensus.run_consensus(ys[i], masks, cfg,
+                                            dc_method="fft")
+            np.testing.assert_allclose(np.asarray(zb[i]), np.asarray(zi),
+                                       atol=1e-6)
+
+    def test_consensus_fista_batched_equals_per_image(self, rng):
+        from pnp_admm_cnc_mri_tpu.ops import prox
+
+        ys, masks = self._problems(rng)
+        prox_fn = lambda i, u: prox.soft(u, 5e-3)
+        zb = consensus.run_consensus_fista(ys, masks, 5, prox_fn)
+        assert zb.shape == (3, 32, 32)
+        for i in range(3):
+            zi = consensus.run_consensus_fista(ys[i], masks, 5, prox_fn)
+            np.testing.assert_allclose(np.asarray(zb[i]), np.asarray(zi),
+                                       atol=1e-6)
+
+    def test_consensus_hqs_batched_equals_per_image(self, rng):
+        ys, masks = self._problems(rng)
+        den = lambda u, i: u * 0.97
+        zb = consensus.run_consensus_hqs(ys, masks, 5, den)
+        assert zb.shape == (3, 32, 32)
+        for i in range(3):
+            zi = consensus.run_consensus_hqs(ys[i], masks, 5, den)
+            np.testing.assert_allclose(np.asarray(zb[i]), np.asarray(zi),
+                                       atol=1e-6)
