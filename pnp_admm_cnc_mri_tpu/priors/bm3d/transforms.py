@@ -44,6 +44,35 @@ _BIOR15_DEC_HI = np.array(
 _HAAR_DEC_LO = np.array([0.7071067811865476, 0.7071067811865476])
 _HAAR_DEC_HI = np.array([-0.7071067811865476, 0.7071067811865476])
 
+# The 8x8 bior1.5 analysis matrix is a MATLAB-compatibility TABLE in the
+# algorithm spec, not a derivable construction: the reference hardcodes
+# it (``bm3d307/bm3d/__init__.py:491-504``, "kept for matlab
+# compatibility") and the C binaries consume exactly these values. Our
+# pywt-convention generator produces the same subband structure but with
+# the d2/d1 rows phase-rolled and the coarse rows scaled ~2.9% (MATLAB's
+# wavedec normalization) — measured as the prime suspect for the A2
+# endpoint-cloud low-shift (VERDICT r3 #4), so the exact table is used at
+# (8, 'bior1.5') like the reference does, and the generator covers every
+# other size.
+_BIOR15_8x8_MATLAB = np.array([
+    [0.343550200747110, 0.343550200747110, 0.343550200747110,
+     0.343550200747110, 0.343550200747110, 0.343550200747110,
+     0.343550200747110, 0.343550200747110],
+    [-0.225454819240296, -0.461645582253923, -0.461645582253923,
+     -0.225454819240296, 0.225454819240296, 0.461645582253923,
+     0.461645582253923, 0.225454819240296],
+    [0.569359398342840, 0.402347308162280, -0.402347308162280,
+     -0.569359398342840, -0.083506045090280, 0.083506045090280,
+     -0.083506045090280, 0.083506045090280],
+    [-0.083506045090280, 0.083506045090280, -0.083506045090280,
+     0.083506045090280, 0.569359398342840, 0.402347308162280,
+     -0.402347308162280, -0.569359398342840],
+    [0.707106781186550, -0.707106781186550, 0, 0, 0, 0, 0, 0],
+    [0, 0, 0.707106781186550, -0.707106781186550, 0, 0, 0, 0],
+    [0, 0, 0, 0, 0.707106781186550, -0.707106781186550, 0, 0],
+    [0, 0, 0, 0, 0, 0, 0.707106781186550, -0.707106781186550],
+])
+
 FILTERS = {
     "bior1.5": (_BIOR15_DEC_LO, _BIOR15_DEC_HI),
     "haar": (_HAAR_DEC_LO, _HAAR_DEC_HI),
@@ -122,6 +151,9 @@ def transform_pair(
     """
     if n == 1:
         return np.ones((1, 1)), np.ones((1, 1))
+    if kind == "bior1.5" and n == 8:
+        t = _BIOR15_8x8_MATLAB
+        return t, np.linalg.inv(t)
     if kind == "dct":
         t = dct_matrix(n)
     elif kind == "dst":
