@@ -120,14 +120,30 @@ struct Transforms {
 
 void build_transforms(bool bior, int max_stack, Transforms* tr) {
   if (bior) {
-    const double lo[10] = {0.01657281518405971,  -0.01657281518405971,
-                           -0.12153397801643787, 0.12153397801643787,
-                           0.7071067811865476,   0.7071067811865476,
-                           0.12153397801643787,  -0.12153397801643787,
-                           -0.01657281518405971, 0.01657281518405971};
-    const double hi[10] = {0, 0, 0, 0, -0.7071067811865476,
-                           0.7071067811865476, 0, 0, 0, 0};
-    wavelet_matrix(kBS, lo, hi, 10, &tr->t2f);
+    // The 8x8 bior1.5 analysis matrix is the MATLAB-compatibility table
+    // the reference hardcodes (bm3d307/bm3d/__init__.py:491-504) and its
+    // C binaries consume — spec constants, matched exactly by the JAX
+    // path (priors/bm3d/transforms.py, round 4). The generated
+    // wavelet_matrix() differs by a within-subband row permutation and a
+    // ~2.9% coarse-row scale and stays in use for other sizes.
+    static const double kBior8[64] = {
+        0.343550200747110,  0.343550200747110,  0.343550200747110,
+        0.343550200747110,  0.343550200747110,  0.343550200747110,
+        0.343550200747110,  0.343550200747110,
+        -0.225454819240296, -0.461645582253923, -0.461645582253923,
+        -0.225454819240296, 0.225454819240296,  0.461645582253923,
+        0.461645582253923,  0.225454819240296,
+        0.569359398342840,  0.402347308162280,  -0.402347308162280,
+        -0.569359398342840, -0.083506045090280, 0.083506045090280,
+        -0.083506045090280, 0.083506045090280,
+        -0.083506045090280, 0.083506045090280,  -0.083506045090280,
+        0.083506045090280,  0.569359398342840,  0.402347308162280,
+        -0.402347308162280, -0.569359398342840,
+        0.707106781186550,  -0.707106781186550, 0, 0, 0, 0, 0, 0,
+        0, 0, 0.707106781186550, -0.707106781186550, 0, 0, 0, 0,
+        0, 0, 0, 0, 0.707106781186550, -0.707106781186550, 0, 0,
+        0, 0, 0, 0, 0, 0, 0.707106781186550, -0.707106781186550};
+    tr->t2f.assign(kBior8, kBior8 + 64);
   } else {
     dct_matrix(kBS, &tr->t2f);
   }

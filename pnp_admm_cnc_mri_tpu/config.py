@@ -224,11 +224,11 @@ TUNED_PGD_D = {
     "drunet_gray": dict(iter_num=30, nlm=12.0, model_sigma1=15.0, x8=True),
     # 31.55 set1 clean — momentum-off matches PnP-FISTA here (the ladder
     # prior, not the extrapolation, sets the fixed point)
-    "tdnet": dict(iter_num=40, nlm=10.0, model_sigma1=15.0, x8=True),
-    "ffdnet_gray": dict(iter_num=40, nlm=11.0),
-    "fdncnn_gray": dict(iter_num=40, nlm=10.0),
-    "ircnn_gray": dict(iter_num=40, nlm=12.0),
-    "dncnn_25": dict(iter_num=40),
+    "tdnet": dict(iter_num=40, nlm=10.0, model_sigma1=15.0, x8=True),  # 31.27
+    "ffdnet_gray": dict(iter_num=40, nlm=11.0),   # 31.22
+    "fdncnn_gray": dict(iter_num=40, nlm=10.0),   # 31.15
+    "ircnn_gray": dict(iter_num=40, nlm=12.0),    # 30.96
+    "dncnn_25": dict(iter_num=40),                # 29.14
     "bm3d": dict(iter_num=15, nlm=15.0),  # 33.25 on 11.png / 32.65 Set avg
     # vs the reference's PNP_PGD_L1_BM3D logs: 26.01 (11.png), 24.69 best
     # Set average
