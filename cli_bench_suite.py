@@ -117,6 +117,17 @@ def main(argv=None) -> int:
                 cost["flops"] / n_image_iters / 1e9, 3)
             extra["modeled_mb_per_image_iter"] = round(
                 cost["bytes"] / n_image_iters / 1e6, 3)
+            # Achieved-throughput views (round 4): pct_sol divides by the
+            # 3-pass f32-einsum peak, which is the RIGHT bound for the
+            # classical solvers' Precision.HIGH DFT matmuls but a ~3x
+            # UNDERestimate for conv stacks (XLA lowers f32 convs as
+            # single-pass bf16 with f32 accumulate). For conv-dominated
+            # rows read pct_mxu_bf16 — scripts/pnp_attribution_probe.py
+            # measured the tdnet stack at 87% of bf16 peak, so pct_sol's
+            # old "1.4-3.9%" for CNN rows was a cost-model artifact.
+            extra["achieved_tflops"] = round(cost["flops"] / dt / 1e12, 1)
+            extra["pct_mxu_bf16"] = round(
+                100.0 * cost["flops"] / dt / 197e12, 1)
         return n_image_iters / dt, dt, extra
 
     records = []
@@ -218,6 +229,22 @@ def main(argv=None) -> int:
     # scaling where the nc=64 models plateau (batch-64 vs batch-8 row)
     ips, dt, ex = timed(fn, (y, m), args.iter_num, y.shape[0])
     record("pnp_tdnet_b%d" % y.shape[0], ips, dt,
+           {"batch": int(y.shape[0]), **ex})
+
+    # bf16 conv stack at full batch: +32% measured (the f32 stack already
+    # runs ~65% of MXU bf16 peak; bf16 lifts it to ~87% — the pipeline is
+    # compute-bound at the architecture's FLOP count, results/
+    # pnp_attribution_r4.jsonl)
+    with _w.catch_warnings():
+        _w.simplefilter("ignore")
+        den_td16 = dn.build_denoiser("tdnet", iter_num=args.iter_num,
+                                     compute_dtype=jnp.bfloat16)
+    fn = jax.jit(
+        lambda y, m: admm.pnp_admm_l1(
+            y, m, cfg_d, den_td16, dtype=jnp.float32)[0].x.mean()
+    )
+    ips, dt, ex = timed(fn, (y, m), args.iter_num, y.shape[0])
+    record("pnp_tdnet_b%d_bf16" % y.shape[0], ips, dt,
            {"batch": int(y.shape[0]), **ex})
 
     # PnP-HQS (DPIR ladder solver; same DnCNN prior)
