@@ -60,6 +60,12 @@ def main(argv=None) -> int:
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--masks", default="all",
                    help="'all' or comma list of mask names")
+    p.add_argument("--real_pngs", default=None,
+                   help="comma list of 256^2 grayscale PNGs to use as the "
+                        "real-image pool INSTEAD of the clean-corpus crops "
+                        "(fold-wise unrolled training: pass the 12 "
+                        "non-fold test images — leakage-free for the "
+                        "excluded fold by construction)")
     args = p.parse_args(argv)
 
     import jax
@@ -84,7 +90,14 @@ def main(argv=None) -> int:
         lambda a: np.asarray(a, np.float32)
         if np.asarray(a).dtype == np.float16 else a, params)
 
-    real = load_real_256("scripts/clean_corpus")
+    if args.real_pngs:
+        from PIL import Image
+
+        real = np.stack([
+            np.asarray(Image.open(p.strip()).convert("L"), np.float32) / 255.0
+            for p in args.real_pngs.split(",")])
+    else:
+        real = load_real_256("scripts/clean_corpus")
     print(f"real 256-crops: {len(real)}  masks: {mask_names}", flush=True)
 
     generator = synth_mod.make_generator(
