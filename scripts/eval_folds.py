@@ -31,8 +31,8 @@ FOLDS = {
 
 def main(argv=None) -> int:
     p = argparse.ArgumentParser()
-    p.add_argument("--zoo", default="zoo_r4")
-    p.add_argument("--suffix", default="_mixed")
+    p.add_argument("--zoo", default="model_zoo")
+    p.add_argument("--suffix", default="")
     p.add_argument("--out", default="results/r4_fold_eval.jsonl")
     p.add_argument("--algo", default="pnp_fista_d")
     args = p.parse_args(argv)
@@ -47,7 +47,9 @@ def main(argv=None) -> int:
     composite = {}
     per_fold = {}
     for fold, held in FOLDS.items():
-        wpath = os.path.join(args.zoo, f"drunet_{fold}{args.suffix}.npz")
+        name = (f"drunet_{fold}{args.suffix}.npz" if args.zoo != "model_zoo"
+                else f"drunet_gray_clean_{fold}.npz")
+        wpath = os.path.join(args.zoo, name)
         if not os.path.exists(wpath):
             print(f"MISSING {wpath} — skipping", flush=True)
             continue
