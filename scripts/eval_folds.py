@@ -35,6 +35,9 @@ def main(argv=None) -> int:
     p.add_argument("--suffix", default="")
     p.add_argument("--out", default="results/r4_fold_eval.jsonl")
     p.add_argument("--algo", default="pnp_fista_d")
+    p.add_argument("--mask", default=None,
+                   help="single-mask algos: evaluate under this mask "
+                        "(default Q_Random30)")
     args = p.parse_args(argv)
 
     import jax
@@ -56,6 +59,8 @@ def main(argv=None) -> int:
         argv_cli = [args.algo, "--cpu", "--model", "drunet_gray", "--tuned",
                     "--testset", "set", "--no_save", "--results_dir",
                     "/tmp/eval_folds_results", "--weights", wpath]
+        if args.mask:
+            argv_cli += ["--mask", args.mask]
         buf = io.StringIO()
         with contextlib.redirect_stdout(buf):
             cli_main.main(argv_cli)
