@@ -238,12 +238,17 @@ TUNED_PGD_CNC = {
     "bm3d": dict(iter_num=10, alpha=1.0, lam=0.02, b=36.0, nlm=25.0),
     # 33.24 on the reference's PGD testbed image 11.png (its only PGD-CNC
     # evidence is the output PNG 11_PNP_PGD_CNC_BM3D.png)
-    "drunet_gray": dict(iter_num=40, alpha=1.2, lam=0.02, b=36.0, nlm=12.0),
-    "tdnet": dict(iter_num=40, alpha=1.2, lam=0.02, b=36.0, nlm=10.0),
-    "ffdnet_gray": dict(iter_num=40, alpha=1.2, lam=0.02, b=36.0, nlm=11.0),
-    "fdncnn_gray": dict(iter_num=40, alpha=1.2, lam=0.02, b=36.0, nlm=10.0),
-    "ircnn_gray": dict(iter_num=40, alpha=1.2, lam=0.02, b=36.0, nlm=12.0),
-    "dncnn_25": dict(iter_num=40, alpha=1.2, lam=0.02, b=36.0),
+    # CNN priors prefer a nearly-pure prox composition (alpha -> 1, small
+    # GMC correction): swept on drunet (26.9 at the BM3D-shaped
+    # alpha=1.2/lam=0.02; 31.48 below) and applied shape-wise to the rest
+    "drunet_gray": dict(iter_num=30, alpha=1.0, lam=0.001, b=36.0,
+                        nlm=12.0, model_sigma1=15.0),  # 31.48 set1 clean
+    "tdnet": dict(iter_num=30, alpha=1.0, lam=0.001, b=36.0, nlm=10.0,
+                  model_sigma1=15.0),
+    "ffdnet_gray": dict(iter_num=30, alpha=1.0, lam=0.001, b=36.0, nlm=11.0),
+    "fdncnn_gray": dict(iter_num=30, alpha=1.0, lam=0.001, b=36.0, nlm=10.0),
+    "ircnn_gray": dict(iter_num=30, alpha=1.0, lam=0.001, b=36.0, nlm=12.0),
+    "dncnn_25": dict(iter_num=30, alpha=1.0, lam=0.001, b=36.0),
 }
 
 # Leakage-free (clean-corpus) tuned settings: swept for the
