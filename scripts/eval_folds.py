@@ -38,6 +38,8 @@ def main(argv=None) -> int:
     p.add_argument("--mask", default=None,
                    help="single-mask algos: evaluate under this mask "
                         "(default Q_Random30)")
+    p.add_argument("--extra", default="",
+                   help="extra CLI args, space-separated (e.g. '--nlm 13')")
     args = p.parse_args(argv)
 
     import jax
@@ -61,6 +63,8 @@ def main(argv=None) -> int:
                     "/tmp/eval_folds_results", "--weights", wpath]
         if args.mask:
             argv_cli += ["--mask", args.mask]
+        if args.extra:
+            argv_cli += args.extra.split()
         buf = io.StringIO()
         with contextlib.redirect_stdout(buf):
             cli_main.main(argv_cli)
