@@ -1,0 +1,157 @@
+"""First-class fold-exclusion evaluation (k-fold leakage-free composite).
+
+Protocol: each of the 15 test images is scored by the fold model that
+EXCLUDED it from training, so every reported PSNR is leakage-free by
+construction. The fold -> (weights, held-out images) map lives in a
+manifest (``model_zoo/folds.json``) so the composition rule is pinned
+data, not shell history.
+
+Hyper-parameter selection (``--select_nlm``): for each fold, every
+candidate nlm is evaluated on the full set, the winner is chosen by the
+average over that fold's held-IN images only (the 12 images the model
+trained on — its validation set), and the held-OUT images are then scored
+at the winning nlm. This keeps the composite free of selection-on-test:
+no held-out image ever influences a hyper-parameter that scores it.
+(Round-4's 33.731 headline chose nlm on the eval set itself — the
+protocol this subcommand exists to replace.)
+
+Mirrors the reference's per-script reproducibility convention
+(``【1】ADMM_L1.py:171-194``: one command -> one recorded result); every
+JSONL row embeds the exact CLI argv that produced it.
+
+    python -m pnp_admm_cnc_mri_tpu.cli.eval_folds \
+        --algo consensus_fista_d --select_nlm 11,12,13,14 \
+        --out results/r5_fold_consensus_val.jsonl
+"""
+
+from __future__ import annotations
+
+import argparse
+import contextlib
+import io
+import json
+import os
+
+DEFAULT_MANIFEST = "model_zoo/folds.json"
+
+ALL_IMAGES = tuple(f"{k:02d}" for k in range(1, 16))
+
+
+def load_manifest(path: str) -> dict:
+    """-> {"model": ..., "folds": {fold: {"weights", "held_out"}}}.
+
+    Validates that the held-out sets partition the 15-image testset —
+    the property the whole protocol rests on."""
+    with open(path) as f:
+        m = json.load(f)
+    ids = sorted(i for spec in m["folds"].values() for i in spec["held_out"])
+    if ids != sorted(ALL_IMAGES):
+        raise ValueError(
+            f"manifest {path}: held_out sets must partition "
+            f"{sorted(ALL_IMAGES)}, got {ids}")
+    return m
+
+
+def _run_cli(argv_cli: list[str]) -> dict:
+    """Run one CLI evaluation, return its result JSON (last stdout line)."""
+    from pnp_admm_cnc_mri_tpu.cli import main as cli_main
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        cli_main.main(argv_cli)
+    return json.loads(buf.getvalue().strip().splitlines()[-1])
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="pnp_admm_cnc_mri_tpu.cli.eval_folds")
+    p.add_argument("--manifest", default=DEFAULT_MANIFEST,
+                   help="fold -> (weights, held_out) JSON manifest")
+    p.add_argument("--algo", default="pnp_fista_d")
+    p.add_argument("--model", default=None,
+                   help="denoiser model name (default: manifest's)")
+    p.add_argument("--out", default="results/fold_eval.jsonl")
+    p.add_argument("--mask", default=None,
+                   help="single-mask algos: evaluate under this mask "
+                        "(default Q_Random30)")
+    p.add_argument("--select_nlm", default=None,
+                   help="comma-separated nlm candidates; per fold, pick by "
+                        "held-IN average (validation), score held-out at "
+                        "the winner. Omit for the registry default.")
+    p.add_argument("--extra", default="",
+                   help="extra CLI args, space-separated")
+    args = p.parse_args(argv)
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    from pnp_admm_cnc_mri_tpu.utils import logger as logger_mod
+
+    manifest = load_manifest(args.manifest)
+    model = args.model or manifest.get("model", "drunet_gray")
+    candidates = ([float(v) for v in args.select_nlm.split(",")]
+                  if args.select_nlm else [None])
+
+    composite: dict[str, float] = {}
+    selections: dict[str, float | None] = {}
+    for fold, spec in manifest["folds"].items():
+        held = tuple(spec["held_out"])
+        wpath = spec["weights"]
+        if not os.path.exists(wpath):
+            print(f"MISSING {wpath} — skipping", flush=True)
+            continue
+        held_in = [i for i in ALL_IMAGES if i not in held]
+
+        best = None  # (held_in_avg, nlm, per_image, argv)
+        for nlm in candidates:
+            argv_cli = [args.algo, "--cpu", "--model", model, "--tuned",
+                        "--testset", "set", "--no_save", "--results_dir",
+                        "/tmp/eval_folds_results", "--weights", wpath]
+            if args.mask:
+                argv_cli += ["--mask", args.mask]
+            if nlm is not None:
+                argv_cli += ["--nlm", repr(nlm)]
+            if args.extra:
+                argv_cli += args.extra.split()
+            res = _run_cli(argv_cli)
+            pim = res["per_image_psnr"]
+            val = sum(pim[i] for i in held_in) / len(held_in)
+            row = {"fold": fold, "weights": wpath, "nlm": nlm,
+                   "held_in_avg": round(val, 4), "argv": argv_cli, **res}
+            logger_mod.append_record(args.out, row)
+            if best is None or val > best[0]:
+                best = (val, nlm, pim, argv_cli)
+
+        _, nlm_sel, pim, _ = best
+        selections[fold] = nlm_sel
+        held_vals = {k: pim[k] for k in held}
+        composite.update(held_vals)
+        print(json.dumps({"fold": fold, "selected_nlm": nlm_sel,
+                          "held_out": {k: round(v, 3)
+                                       for k, v in held_vals.items()}}),
+              flush=True)
+
+    if len(composite) == len(ALL_IMAGES):
+        avg = sum(composite.values()) / len(ALL_IMAGES)
+        protocol = ("each image scored by the fold model excluding it; "
+                    + ("nlm validation-selected per fold on held-in images"
+                       if args.select_nlm else
+                       "registry-default hyper-parameters"))
+        summary = {
+            "composite_fold_exclusion_psnr": round(avg, 3),
+            "set1_fold_excluded": round(composite["05"], 3),
+            "per_image": {k: round(v, 3)
+                          for k, v in sorted(composite.items())},
+            "selected_nlm": selections,
+            "algo": args.algo,
+            "protocol": protocol,
+        }
+        logger_mod.append_record(args.out, summary)
+        print(json.dumps(summary))
+    else:
+        print(f"composite incomplete: {sorted(composite)}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

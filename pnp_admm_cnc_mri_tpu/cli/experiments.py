@@ -30,17 +30,41 @@ def prepare_batch(
     mask_name: str = "Q_Random30",
     data_dir: Optional[str] = None,
     use_clip: bool = True,
+    only: Optional[str] = None,
 ):
     """Load testset + mask + noise and synthesize observations.
 
     Returns dict with imgs01 (B,H,W) f64, truth (B,H,W) f64 on the 0-255
     scale, y (B,H,W) complex128, mask (H,W), names.
+
+    ``only`` (comma-separated image stems, e.g. ``"05,11"``) restricts the
+    batch to those images — per-image sweeps pay for 1-2 images instead
+    of the full set. Each image's observation is IDENTICAL to its slot in
+    the full-set batch (same mask, same fixed noise realization), so
+    filtered per-image PSNRs match full-set per_image_psnr values.
     """
     imgs01, truth, names = images.load_testset(testset_dir, use_clip=use_clip)
     mask = masks.load_mask(mask_name, data_dir)
     kn = noise.load_noise(data_dir)
     y = np.fft.fft2(imgs01, axes=(-2, -1)) * mask + kn
+    if only:
+        _, kept = _filter_only(imgs01, names, only)
+        idx = [i for i, n in enumerate(names) if n in kept]
+        imgs01, truth, y = imgs01[idx], truth[idx], y[idx]
+        names = kept
     return {"imgs01": imgs01, "truth": truth, "y": y, "mask": mask, "names": names}
+
+
+def _filter_only(imgs01, names, only: Optional[str]):
+    """Apply the ``only`` image filter (comma-separated stems)."""
+    if not only:
+        return imgs01, names
+    want = [w.strip() for w in only.split(",")]
+    missing = [w for w in want if w not in names]
+    if missing:
+        raise ValueError(f"--images {missing} not in testset {sorted(names)}")
+    idx = [i for i, n in enumerate(names) if n in want]
+    return imgs01[idx], [names[i] for i in idx]
 
 
 def score_and_log(
@@ -131,6 +155,7 @@ def run_classical(
     data_dir: Optional[str] = None,
     results_dir: str = "results",
     save_images: bool = True,
+    only: Optional[str] = None,
     dtype=None,
 ) -> Dict[str, float]:
     """Run ADMM-L1 or ADMM-CNC over a testset, batched (reference 【1】/【4】)."""
@@ -140,7 +165,8 @@ def run_classical(
     from pnp_admm_cnc_mri_tpu.solvers import admm
 
     testsets_dir = testsets_dir or images.DEFAULT_TESTSETS
-    batch = prepare_batch(os.path.join(testsets_dir, testset), mask_name, data_dir)
+    batch = prepare_batch(os.path.join(testsets_dir, testset), mask_name,
+                          data_dir, only=only)
     if dtype is None:
         dtype = jnp.float64 if jax.config.read("jax_enable_x64") else jnp.float32
     cdtype = jnp.complex128 if dtype == jnp.float64 else jnp.complex64
@@ -179,6 +205,7 @@ def run_pnp(
     data_dir: Optional[str] = None,
     results_dir: str = "results",
     save_images: bool = True,
+    only: Optional[str] = None,
     round_uint8: bool = False,
     result_tag: str = "pnp",
     dtype=None,
@@ -190,7 +217,8 @@ def run_pnp(
     from pnp_admm_cnc_mri_tpu.solvers import admm
 
     testsets_dir = testsets_dir or images.DEFAULT_TESTSETS
-    batch = prepare_batch(os.path.join(testsets_dir, testset), mask_name, data_dir)
+    batch = prepare_batch(os.path.join(testsets_dir, testset), mask_name,
+                          data_dir, only=only)
     if dtype is None:
         dtype = jnp.float32
     cdtype = jnp.complex128 if dtype == jnp.float64 else jnp.complex64
@@ -229,6 +257,7 @@ def run_fista_l1(
     data_dir: Optional[str] = None,
     results_dir: str = "results",
     save_images: bool = True,
+    only: Optional[str] = None,
     dtype=None,
     momentum: bool = True,
     result_tag: Optional[str] = None,
@@ -243,7 +272,8 @@ def run_fista_l1(
     from pnp_admm_cnc_mri_tpu.solvers import fista
 
     testsets_dir = testsets_dir or images.DEFAULT_TESTSETS
-    batch = prepare_batch(os.path.join(testsets_dir, testset), mask_name, data_dir)
+    batch = prepare_batch(os.path.join(testsets_dir, testset), mask_name,
+                          data_dir, only=only)
     if dtype is None:
         dtype = jnp.float64 if jax.config.read("jax_enable_x64") else jnp.float32
     cdtype = jnp.complex128 if dtype == jnp.float64 else jnp.complex64
@@ -276,6 +306,7 @@ def run_pnp_fista(
     data_dir: Optional[str] = None,
     results_dir: str = "results",
     save_images: bool = True,
+    only: Optional[str] = None,
     result_tag: str = "pnp_fista",
     dtype=None,
     momentum: bool = True,
@@ -291,7 +322,8 @@ def run_pnp_fista(
     from pnp_admm_cnc_mri_tpu.solvers import fista
 
     testsets_dir = testsets_dir or images.DEFAULT_TESTSETS
-    batch = prepare_batch(os.path.join(testsets_dir, testset), mask_name, data_dir)
+    batch = prepare_batch(os.path.join(testsets_dir, testset), mask_name,
+                          data_dir, only=only)
     if dtype is None:
         dtype = jnp.float32
     cdtype = jnp.complex128 if dtype == jnp.float64 else jnp.complex64
@@ -327,6 +359,7 @@ def run_pnp_pgd_cnc(
     data_dir: Optional[str] = None,
     results_dir: str = "results",
     save_images: bool = True,
+    only: Optional[str] = None,
     result_tag: str = "pnp_pgd_cnc",
     dtype=None,
 ) -> Dict[str, float]:
@@ -340,7 +373,8 @@ def run_pnp_pgd_cnc(
     from pnp_admm_cnc_mri_tpu.solvers import fista
 
     testsets_dir = testsets_dir or images.DEFAULT_TESTSETS
-    batch = prepare_batch(os.path.join(testsets_dir, testset), mask_name, data_dir)
+    batch = prepare_batch(os.path.join(testsets_dir, testset), mask_name,
+                          data_dir, only=only)
     if dtype is None:
         dtype = jnp.float32
     cdtype = jnp.complex128 if dtype == jnp.float64 else jnp.complex64
@@ -375,6 +409,7 @@ def run_pnp_hqs(
     data_dir: Optional[str] = None,
     results_dir: str = "results",
     save_images: bool = True,
+    only: Optional[str] = None,
     result_tag: str = "pnp_hqs",
     dtype=None,
 ) -> Dict[str, float]:
@@ -388,7 +423,8 @@ def run_pnp_hqs(
     from pnp_admm_cnc_mri_tpu.solvers import hqs
 
     testsets_dir = testsets_dir or images.DEFAULT_TESTSETS
-    batch = prepare_batch(os.path.join(testsets_dir, testset), mask_name, data_dir)
+    batch = prepare_batch(os.path.join(testsets_dir, testset), mask_name,
+                          data_dir, only=only)
     if dtype is None:
         dtype = jnp.float32
     cdtype = jnp.complex128 if dtype == jnp.float64 else jnp.complex64
@@ -423,6 +459,7 @@ def run_red(
     data_dir: Optional[str] = None,
     results_dir: str = "results",
     save_images: bool = True,
+    only: Optional[str] = None,
     result_tag: str = "red",
     dtype=None,
 ) -> Dict[str, float]:
@@ -435,7 +472,8 @@ def run_red(
     from pnp_admm_cnc_mri_tpu.solvers import red
 
     testsets_dir = testsets_dir or images.DEFAULT_TESTSETS
-    batch = prepare_batch(os.path.join(testsets_dir, testset), mask_name, data_dir)
+    batch = prepare_batch(os.path.join(testsets_dir, testset), mask_name,
+                          data_dir, only=only)
     if dtype is None:
         dtype = jnp.float32
     cdtype = jnp.complex128 if dtype == jnp.float64 else jnp.complex64
@@ -526,6 +564,7 @@ def run_deblur(
     testsets_dir: Optional[str] = None,
     results_dir: str = "results",
     save_images: bool = True,
+    only: Optional[str] = None,
     weights: Optional[str] = None,
     seed: int = 0,
     x8: bool = False,
@@ -550,6 +589,7 @@ def run_deblur(
 
     testsets_dir = testsets_dir or images.DEFAULT_TESTSETS
     imgs01, _, names = images.load_testset(os.path.join(testsets_dir, testset))
+    imgs01, names = _filter_only(imgs01, names, only)
     h, w = imgs01.shape[-2:]
     imgs01 = imgs01[..., : h - h % 8, : w - w % 8]
     x_true = jnp.asarray(imgs01, jnp.float32)
@@ -596,6 +636,7 @@ def run_sr(
     testsets_dir: Optional[str] = None,
     results_dir: str = "results",
     save_images: bool = True,
+    only: Optional[str] = None,
     weights: Optional[str] = None,
     seed: int = 0,
     x8: bool = False,
@@ -620,6 +661,7 @@ def run_sr(
 
     testsets_dir = testsets_dir or images.DEFAULT_TESTSETS
     imgs01, _, names = images.load_testset(os.path.join(testsets_dir, testset))
+    imgs01, names = _filter_only(imgs01, names, only)
     # modcrop to sf*8 so decimation and the denoiser pads stay aligned
     m = sf * 8
     h, w = imgs01.shape[-2:]

@@ -49,10 +49,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--red_variant", default="fp", choices=["fp", "gd"],
                    help="red_d only: fixed-point (implicit, default) or "
                         "explicit gradient-descent RED iteration")
-    p.add_argument("--step", type=float, default=1.0,
+    p.add_argument("--step", type=float, default=None,
                    help="fista_l1/pnp_fista_d/consensus_fista_d: gradient "
                         "step size (the data-term Lipschitz constant is "
-                        "exactly 1, so 1.0 is canonical)")
+                        "exactly 1, so 1.0 is canonical; default: tuned "
+                        "registry value under --tuned, else 1.0)")
     p.add_argument("--sf", type=int, default=2,
                    help="pnp_sr only: super-resolution factor")
     p.add_argument("--kernel", default="aniso",
@@ -63,6 +64,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "[0,255] scale (defaults: sr 1.5, deblur 2.55); "
                         "pnp_hqs_d: the alpha-ladder scale (default 10)")
     p.add_argument("--testset", default="set1")
+    p.add_argument("--images", default=None,
+                   help="comma-separated image stems (e.g. '05,11') to "
+                        "restrict the testset — per-image sweeps pay for "
+                        "1-2 images; observations match the full-set batch "
+                        "slots exactly")
     p.add_argument("--mask", default="Q_Random30")
     p.add_argument("--iter_num", type=int, default=None)
     p.add_argument("--lambda1", dest="lam", type=float, default=None)
@@ -124,13 +130,22 @@ def _arch_overrides(args) -> dict:
     return kw
 
 
+def _resolve_step(args, tuned=None) -> float:
+    """Explicit --step always wins (even --step 1.0); otherwise the tuned
+    registry's step, else the canonical 1.0 (L=1 data term)."""
+    if args.step is not None:
+        return args.step
+    return (tuned or {}).get("step", 1.0)
+
+
 def _warn_bm3d_ignored(args) -> None:
     """Warn on CNN-only knobs passed with --model bm3d (same policy as
     the restoration pipelines' _restoration_prior)."""
     ignored = [name for name, v in
                (("--weights", args.weights), ("--x8", args.x8),
                 ("--bf16", args.bf16), ("--clean", args.clean),
-                ("--model_sigma1", args.model_sigma1))
+                ("--model_sigma1", args.model_sigma1),
+                ("--model2", args.model2), ("--weights2", args.weights2))
                if v]
     if ignored:
         import warnings
@@ -190,6 +205,7 @@ def main(argv=None) -> int:
         data_dir=args.data_dir,
         results_dir=args.results_dir,
         save_images=not args.no_save,
+        only=args.images,
     )
     dtype = jnp.float64 if args.f64 else jnp.float32
 
@@ -210,6 +226,9 @@ def main(argv=None) -> int:
         imgs01, truth, names = images_mod.load_testset(
             _os.path.join(testsets_dir, args.testset)
         )
+        if args.images:
+            truth, _ = experiments._filter_only(truth, names, args.images)
+            imgs01, names = experiments._filter_only(imgs01, names, args.images)
         all_masks = np.stack(list(masks_mod.load_all_masks(data_dir=args.data_dir).values()))
         kn = noise_mod.load_noise(args.data_dir)
         z_prox = None
@@ -346,7 +365,7 @@ def main(argv=None) -> int:
                 ys_d, jnp.asarray(all_masks, dtp), fista_iters,
                 # consensus z_prox is (v, i); fista prox_fn is (i, u)
                 lambda i, u: z_prox(u, i),
-                step=args.step, dtype=dtp,
+                step=_resolve_step(args), dtype=dtp,
             )
         elif args.algo == "consensus_hqs_d":
             z = consensus.run_consensus_hqs(
@@ -398,6 +417,7 @@ def main(argv=None) -> int:
                           else tuned.get("model_sigma1")),
             bf16=args.bf16,
             clean=args.clean,
+            only=args.images,
         )
     elif args.algo in ("fista_l1", "pgd_l1"):
         momentum = args.algo == "fista_l1"
@@ -405,7 +425,7 @@ def main(argv=None) -> int:
         out = experiments.run_fista_l1(
             iter_num=args.iter_num or tuned.get("iter_num", 50),
             lam=args.lam if args.lam is not None else tuned.get("lam", 1e-4),
-            step=args.step if args.step != 1.0 else tuned.get("step", args.step),
+            step=_resolve_step(args, tuned),
             momentum=momentum, dtype=dtype, **common,
         )
     elif args.algo in ("pnp_fista_d", "pnp_pgd_d"):
@@ -442,7 +462,7 @@ def main(argv=None) -> int:
             )
         tag = "pnp_fista" if args.algo == "pnp_fista_d" else "pnp_pgd"
         out = experiments.run_pnp_fista(
-            denoise, it, step=args.step, dtype=dtype,
+            denoise, it, step=_resolve_step(args, tuned), dtype=dtype,
             momentum=args.algo == "pnp_fista_d",
             result_tag=f"{tag}_{args.model}", **common,
         )
@@ -486,7 +506,7 @@ def main(argv=None) -> int:
                         if args.model2 else None)
         out = experiments.run_pnp_pgd_cnc(
             denoise, it, denoise2=denoise2, alpha=alpha, lam=lam, b=b,
-            step=args.step, dtype=dtype,
+            step=_resolve_step(args, tuned), dtype=dtype,
             result_tag=f"pnp_pgd_cnc_{args.model}", **common,
         )
     elif args.algo == "pnp_hqs_d":
@@ -562,7 +582,7 @@ def main(argv=None) -> int:
                 **_arch_overrides(args),
             )
         out = experiments.run_red(
-            denoise, it, lam=lam, step=args.step, variant=args.red_variant,
+            denoise, it, lam=lam, step=_resolve_step(args, tuned), variant=args.red_variant,
             dtype=dtype, result_tag=f"red_{args.model}", **common,
         )
     elif args.algo in ("admm_l1", "admm_cnc"):

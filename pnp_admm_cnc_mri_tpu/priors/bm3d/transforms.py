@@ -159,12 +159,13 @@ def transform_pair(
     elif kind == "dst":
         t = dst_matrix(n)
     elif kind in FILTERS:
+        # (the 8x8 bior1.5 hardcoded table already returned above, so every
+        # generated wavelet matrix takes the dec_level + normalization path)
         t = wavelet_matrix(n, kind)
-        if not (kind == "bior1.5" and n == 8):
-            if dec_level:
-                t = np.roll(t, -int(dec_level), axis=1)
-            norms = np.sqrt((t**2).sum(axis=1))
-            t = t / norms[:, None]
+        if dec_level:
+            t = np.roll(t, -int(dec_level), axis=1)
+        norms = np.sqrt((t**2).sum(axis=1))
+        t = t / norms[:, None]
     else:
         raise ValueError(kind)
     return t, np.linalg.inv(t)

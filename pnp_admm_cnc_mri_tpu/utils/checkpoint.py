@@ -224,8 +224,8 @@ def resume_consensus_hqs(path: str, ys, masks, denoise,
     alphas_j = jnp.asarray(np.asarray(alphas), z0.dtype)
 
     m = (jnp.asarray(masks) != 0).astype(jnp.asarray(ys).real.dtype)
-    cnt = jnp.sum(m, axis=0)
-    S = jnp.sum(jnp.where(m != 0, jnp.asarray(ys), 0.0), axis=0)
+    cnt = jnp.sum(m, axis=-3)
+    S = jnp.sum(jnp.where(m != 0, jnp.asarray(ys), 0.0), axis=-3)
 
     def step(z, i):
         return consensus.consensus_hqs_step(
@@ -302,7 +302,7 @@ def resume_consensus_admm(path: str, ys, masks, z_prox=None,
 
     (z, w), _ = jax.lax.scan(step, (z0, w0),
                              jnp.arange(it, max(cfg.iter_num, it)))
-    x = dc(z[None] - w).astype(dtype)
+    x = dc(z[..., None, :, :] - w).astype(dtype)
     return z, x, cfg
 
 

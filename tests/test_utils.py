@@ -472,3 +472,59 @@ class TestIterateCheckpoints:
         resumed, _ = ckpt.resume_consensus_hqs(p, ys, mj, den)
         np.testing.assert_allclose(np.asarray(resumed), np.asarray(full),
                                    atol=1e-12)
+
+    def test_batched_consensus_resume_identical(self, rng, tmp_path):
+        """Batched (B, N, H, W) consensus runs resume identically.
+
+        Regression for the round-4 advisor finding: the resume paths used
+        the pre-batching observation-axis-0 convention (``z[None] - w``,
+        ``sum(..., axis=0)``) while the solvers moved the observation
+        axis to -3 — silently wrong when B == N (broadcast succeeds),
+        shape error otherwise. Uses B=3 images x N=3 masks, the silent
+        case."""
+        import jax.numpy as jnp
+
+        from pnp_admm_cnc_mri_tpu.config import ADMMConfig
+        from pnp_admm_cnc_mri_tpu.ops import schedules
+        from pnp_admm_cnc_mri_tpu.parallel import consensus
+        from pnp_admm_cnc_mri_tpu.utils import checkpoint as ckpt
+
+        n, B, N = 24, 3, 3
+        imgs = rng.random((B, n, n))
+        masks = np.stack([(rng.random((n, n)) < 0.3).astype(np.float64)
+                          for _ in range(N)])
+        # (B, N, H, W): each image observed through every mask
+        ys = jnp.asarray(
+            np.fft.fft2(imgs[:, None], axes=(-2, -1)) * masks[None],
+            jnp.complex128)
+        mj = jnp.asarray(np.broadcast_to(masks[None], (B, N, n, n)))
+
+        # --- consensus-ADMM ---
+        cfg = ADMMConfig(iter_num=14, lam=0.1, rho=0.05)
+        z_full, x_full = consensus.run_consensus(ys, mj, cfg,
+                                                 dtype=jnp.float64)
+        cfg5 = ADMMConfig(iter_num=6, lam=0.1, rho=0.05)
+        z_h, _x_h, w_h = consensus.run_consensus(
+            ys, mj, cfg5, dtype=jnp.float64, return_state=True)
+        p = str(tmp_path / "cadmm_batched.npz")
+        ckpt.save_consensus_state(p, z_h, w_h, 6, cfg=cfg)
+        z_r, x_r, _cfg_r = ckpt.resume_consensus_admm(p, ys, mj)
+        assert x_r.shape == (B, N, n, n)
+        np.testing.assert_allclose(np.asarray(z_r), np.asarray(z_full),
+                                   atol=1e-12)
+        np.testing.assert_allclose(np.asarray(x_r), np.asarray(x_full),
+                                   atol=1e-12)
+
+        # --- consensus-HQS ---
+        alphas, _ = schedules.get_rho_sigma(iter_num=12)
+        den = lambda u, i: jnp.clip(u, 0.05, 0.95)
+        full = consensus.run_consensus_hqs(
+            ys, mj, 12, den, dtype=jnp.float64, alphas=alphas)
+        half = consensus.run_consensus_hqs(
+            ys, mj, 5, den, dtype=jnp.float64, alphas=alphas[:5])
+        p2 = str(tmp_path / "chqs_batched.npz")
+        ckpt.save_consensus_hqs(p2, half, 5, alphas)
+        resumed, _ = ckpt.resume_consensus_hqs(p2, ys, mj, den)
+        assert resumed.shape == (B, n, n)
+        np.testing.assert_allclose(np.asarray(resumed), np.asarray(full),
+                                   atol=1e-12)
