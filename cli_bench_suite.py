@@ -61,6 +61,7 @@ def main(argv=None) -> int:
     from pnp_admm_cnc_mri_tpu.data import images, masks, noise
     from pnp_admm_cnc_mri_tpu.priors import bm3d_prior, denoiser as dn
     from pnp_admm_cnc_mri_tpu.solvers import admm
+    from pnp_admm_cnc_mri_tpu.utils import flops as flops_mod
     from pnp_admm_cnc_mri_tpu.utils import logger as logger_mod
 
     # Synthesize the observation batch ON DEVICE: MB-scale host->device
@@ -100,6 +101,20 @@ def main(argv=None) -> int:
                         "bytes": float(ca.get("bytes accessed", 0.0))}
         except Exception:
             pass
+        # Exact matmul-class FLOPs from the traced jaxpr
+        # (utils/flops.matmul_flops). Round 5 arbitration
+        # (scripts/profile_arbitration.py, results/mxu_arbitration_r5.jsonl)
+        # proved the axon backend's cost_analysis() counts a lax.scan BODY
+        # ONCE regardless of trip count (undercount factor == scan length:
+        # 20.2x at 20 reps, 50.5x at 50), so every flop-derived column the
+        # round-4 suite emitted from cost_analysis was ~iter_num-times too
+        # low. The jaxpr count is backend-independent and multiplies scan
+        # bodies by their trip count; the device trace confirms it (conv
+        # fusions at ~193 TF/s, conv time ~92% of the loop).
+        try:
+            jflops = flops_mod.matmul_flops(fn, *fargs)
+        except Exception:
+            jflops = 0.0
         float(np.asarray(compiled(*fargs)))  # warmup
         times = []
         for _ in range(3):
@@ -109,25 +124,21 @@ def main(argv=None) -> int:
         dt = statistics.median(times)
         extra = {"spread_pct": round(100.0 * (max(times) - min(times)) / dt, 1)}
         n_image_iters = batch * n_iters
-        if cost and cost["flops"] > 0 and jax.default_backend() != "cpu":
-            sol_t = max(cost["flops"] / PEAK_FLOPS_F32EQ,
-                        cost["bytes"] / PEAK_HBM_BPS)
-            extra["pct_sol"] = round(100.0 * sol_t / dt, 1)
+        if jflops > 0 and jax.default_backend() != "cpu":
             extra["modeled_gflop_per_image_iter"] = round(
-                cost["flops"] / n_image_iters / 1e9, 3)
-            extra["modeled_mb_per_image_iter"] = round(
-                cost["bytes"] / n_image_iters / 1e6, 3)
-            # Achieved-throughput views (round 4): pct_sol divides by the
-            # 3-pass f32-einsum peak, which is the RIGHT bound for the
-            # classical solvers' Precision.HIGH DFT matmuls but a ~3x
-            # UNDERestimate for conv stacks (XLA lowers f32 convs as
-            # single-pass bf16 with f32 accumulate). For conv-dominated
-            # rows read pct_mxu_bf16 — scripts/pnp_attribution_probe.py
-            # measured the tdnet stack at 87% of bf16 peak, so pct_sol's
-            # old "1.4-3.9%" for CNN rows was a cost-model artifact.
-            extra["achieved_tflops"] = round(cost["flops"] / dt / 1e12, 1)
-            extra["pct_mxu_bf16"] = round(
-                100.0 * cost["flops"] / dt / 197e12, 1)
+                jflops / n_image_iters / 1e9, 3)
+            extra["achieved_tflops"] = round(jflops / dt / 1e12, 1)
+            # bf16 MXU peak is the right bound for conv stacks (XLA lowers
+            # f32 convs single-pass bf16 w/ f32 accumulate); the classical
+            # solvers' Precision.HIGH DFT matmuls are bound by the 3-pass
+            # f32-einsum peak instead — read the matching column per row.
+            extra["pct_mxu_bf16"] = round(100.0 * jflops / dt / 197e12, 1)
+            extra["pct_sol"] = round(
+                100.0 * (jflops / PEAK_FLOPS_F32EQ) / dt, 1)
+        if cost and cost["flops"] > 0 and jax.default_backend() != "cpu":
+            # raw cost_analysis flops kept for the record (known broken:
+            # scan bodies counted once — see arbitration note above)
+            extra["cost_analysis_gflop"] = round(cost["flops"] / 1e9, 3)
         return n_image_iters / dt, dt, extra
 
     records = []

@@ -23,10 +23,20 @@ the white-noise auto-parameters lambda=3.0, mu^2=0.4 (reference
 ``__init__.py:868-869``; golden-tested in
 ``bm3d307/tests/psd_resizing_and_parameters.py``).
 
-Known deviations from the C binaries (documented, PSNR-level impact):
-- bior1.5 basis rows differ by per-row phase and ~3%% norm on two subbands
-  (see ``transforms.py``); block-match candidate windows clamp at image
-  borders instead of shifting inside.
+Known deviations from the C binaries (documented, PSNR-level impact;
+round-5 decomposition against the C's own exported block matches,
+``scripts/bm_match_probe.py`` / ``scripts/bm_decompose_probe.py``,
+``results/bm_decompose_r5.jsonl``):
+- Border windows are NOT a deviation: the C export shows zero candidates
+  outside the clamp window — the binaries clamp like we do (the old
+  "shifts inside" suspect is dead on direct evidence).
+- The C ranks candidates by 2-D *transform-coefficient* SSD (bior1.5 is
+  non-orthonormal, so this reweights frequencies vs our pixel SSD) with
+  an nf=32 FFT-domain approximation; measured set overlap vs C: 0.885
+  (our pixel metric) / 0.962 (exact bior metric). Feeding C's exact
+  matches bounds matching's share of the HT deviation at ~0.8pp of
+  1.96%; the remaining 1.15% (HT) / 0.77%% (Wiener) is filter-internal
+  and precision-independent (f32==f64 to 2 decimals).
 """
 
 from __future__ import annotations
@@ -545,8 +555,17 @@ def ht_stage(
     sigma,
     profile: BM3DProfile = DEFAULT_PROFILE,
     prefilter: Optional[bool] = None,
+    ext_match: Optional[tuple] = None,
 ) -> jnp.ndarray:
-    """Hard-thresholding (basic-estimate) stage."""
+    """Hard-thresholding (basic-estimate) stage.
+
+    ``ext_match``: optional ``(pos (G, K, 2) int32, counts (G,) int32)``
+    externally-supplied block matches (e.g. decoded from the C binaries'
+    blockmatch export, scripts/bm_match_probe.py) replacing ``_match`` —
+    the instrument that decomposes per-call deviation into matching vs
+    filtering. Group ROW ORDER is preserved (the stack transform is
+    order-sensitive); positions beyond a group's count should repeat the
+    reference block."""
     p = profile
     h, w = z.shape
     bs = p.bs_ht
@@ -573,7 +592,12 @@ def ht_stage(
     match_coeffs = None
     if prefilter:
         match_coeffs = jnp.where(jnp.abs(t2b) > p.lambda_2d * sigma, t2b, 0.0)
-    pos, counts = _match(z, ref_i, offs, bs, p.max_3d_ht, tau, match_coeffs)
+    if ext_match is not None:
+        pos, counts = (jnp.asarray(ext_match[0], jnp.int32),
+                       jnp.asarray(ext_match[1], jnp.int32))
+    else:
+        pos, counts = _match(z, ref_i, offs, bs, p.max_3d_ht, tau,
+                             match_coeffs)
 
     groups = _group_coeffs(t2b, pos, nw)  # (G, K, 64)
     thr = p.lambda_thr3d * sigma
@@ -611,8 +635,11 @@ def wiener_stage(
     pilot: jnp.ndarray,
     sigma,
     profile: BM3DProfile = DEFAULT_PROFILE,
+    ext_match: Optional[tuple] = None,
 ) -> jnp.ndarray:
-    """Wiener (final-estimate) stage using the HT output as pilot."""
+    """Wiener (final-estimate) stage using the HT output as pilot.
+
+    ``ext_match`` as in :func:`ht_stage`."""
     p = profile
     h, w = z.shape
     bs = p.bs_wie
@@ -628,7 +655,11 @@ def wiener_stage(
     ref_i = _ref_grid(nh, p.step_wie)
     offs = _offsets(p.search_wie, bs)
     tau = p.tau_match_wie * p.tau_scale * (bs * bs) / (255.0**2)
-    pos, counts = _match(pilot, ref_i, offs, bs, p.max_3d_wie, tau)
+    if ext_match is not None:
+        pos, counts = (jnp.asarray(ext_match[0], jnp.int32),
+                       jnp.asarray(ext_match[1], jnp.int32))
+    else:
+        pos, counts = _match(pilot, ref_i, offs, bs, p.max_3d_wie, tau)
 
     gz = _group_coeffs(t2b_z, pos, nw)
     gp = _group_coeffs(t2b_p, pos, nw)
@@ -914,6 +945,7 @@ def wiener_stage_colored(
     profile: BM3DProfile = DEFAULT_PROFILE,
     cov_field: Optional[jnp.ndarray] = None,
     cov_radius: int = 32,
+    ext_match: Optional[tuple] = None,
 ) -> jnp.ndarray:
     """Wiener stage with per-coefficient noise variances (colored noise).
 
@@ -934,7 +966,11 @@ def wiener_stage_colored(
     ref_i = _ref_grid(nh, p.step_wie)
     offs = _offsets(p.search_wie, bs)
     tau = p.tau_match_wie * p.tau_scale * (bs * bs) / (255.0**2)
-    pos, counts = _match(pilot, ref_i, offs, bs, p.max_3d_wie, tau)
+    if ext_match is not None:
+        pos, counts = (jnp.asarray(ext_match[0], jnp.int32),
+                       jnp.asarray(ext_match[1], jnp.int32))
+    else:
+        pos, counts = _match(pilot, ref_i, offs, bs, p.max_3d_wie, tau)
 
     gz = _group_coeffs(t2b_z, pos, nw)
     gp = _group_coeffs(t2b_p, pos, nw)

@@ -156,13 +156,14 @@ def ensure_bm3d_scratch(scratch) -> None:
             )
     libdir = os.path.join(scratch, "libs")
     os.makedirs(libdir, exist_ok=True)
-    link = os.path.join(libdir, "libopenblas.so.0")
-    if not os.path.exists(link):
-        cv = "/opt/venv/lib/python3.12/site-packages/opencv_python.libs"
-        for name in os.listdir(cv):
-            if "openblas" in name:
-                os.symlink(os.path.join(cv, name), link)
-                break
+    cv = "/opt/venv/lib/python3.12/site-packages/opencv_python.libs"
+    for name in os.listdir(cv):
+        # openblas under the soname the reference dlopens, plus its
+        # bundled dependencies (libgfortran etc.) under their own names
+        dst = os.path.join(
+            libdir, "libopenblas.so.0" if "openblas" in name else name)
+        if not os.path.exists(dst):
+            os.symlink(os.path.join(cv, name), dst)
 
 
 def run_oracle_bm3d(scratch, z: np.ndarray, psd_or_sigma, timeout: int = 600):

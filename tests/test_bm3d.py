@@ -194,8 +194,12 @@ class TestOracleParity:
             libdir.mkdir(exist_ok=True)
             cv = "/opt/venv/lib/python3.12/site-packages/opencv_python.libs"
             for name in os.listdir(cv):
-                if "openblas" in name:
-                    (libdir / "libopenblas.so.0").symlink_to(os.path.join(cv, name))
+                # openblas under the dlopened soname + its bundled deps
+                # (libgfortran etc.) under their own names
+                dst = libdir / ("libopenblas.so.0" if "openblas" in name
+                                else name)
+                if not dst.exists():
+                    dst.symlink_to(os.path.join(cv, name))
 
         from pnp_admm_cnc_mri_tpu.data import images
 

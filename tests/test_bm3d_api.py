@@ -829,3 +829,80 @@ class TestVariantOracleParity:
             p = 10 * np.log10(1.0 / np.mean((np.asarray(y) - x) ** 2))
             oracle = self.ORACLE[prof][i]
             assert p > oracle - self.BAND, (prof, nm, p, oracle)
+
+
+class TestExtMatch:
+    """ext_match injection (round-5 decomposition instrument)."""
+
+    def test_ext_match_own_is_identity(self):
+        """Feeding _match's own output through ext_match reproduces the
+        default path bit-for-bit (the injection changes nothing but the
+        source of the matches)."""
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from pnp_admm_cnc_mri_tpu.priors.bm3d import core
+
+        rng = np.random.default_rng(3)
+        z = jnp.asarray(np.clip(
+            0.5 + 0.2 * rng.standard_normal((48, 48)), 0, 1))
+        prof = core.BM3DProfile(search_ht=25, search_wie=25)
+        sigma = jnp.asarray(0.1)
+        bs = prof.bs_ht
+        nh = z.shape[0] - bs + 1
+        ref_i = core._ref_grid(nh, prof.step_ht)
+        offs = core._offsets(prof.search_ht, bs)
+        tau = prof.tau_match_ht * prof.tau_scale * bs * bs / 255.0 ** 2
+        pos, counts = core._match(z, ref_i, offs, bs, prof.max_3d_ht, tau)
+
+        base = core.ht_stage(z, sigma, prof)
+        inj = core.ht_stage(z, sigma, prof,
+                            ext_match=(np.asarray(pos), np.asarray(counts)))
+        np.testing.assert_array_equal(np.asarray(base), np.asarray(inj))
+
+    def test_decode_bm_roundtrip(self):
+        """decode_bm inverts the C export layout on a synthetic array
+        built to its validated spec (fixed k_max slots, row%39 encoding,
+        best-last order, power-of-two count rule)."""
+        import importlib.util
+        import numpy as np
+
+        spec = importlib.util.spec_from_file_location(
+            "bm_decompose_probe", "scripts/bm_decompose_probe.py")
+        dp = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(dp)
+
+        n, bs, step, k_max = 64, 8, 3, 16
+        W = n - bs + 1
+        grid = list(range(0, W, step))
+        if grid[-1] != W - 1:
+            grid.append(W - 1)
+        refs = [(i, j) for i in grid for j in grid]
+        rng = np.random.default_rng(0)
+        counts = rng.choice([4, 8, 16], size=len(refs))
+        slots = np.zeros((len(refs), k_max), np.int64)
+        want = {}
+        for g, (ri, rj) in enumerate(refs):
+            k = counts[g]
+            cands = [(ri, rj)]
+            while len(cands) < k:
+                r = int(np.clip(ri + rng.integers(-19, 20), 0, W - 1))
+                c = int(np.clip(rj + rng.integers(-19, 20), 0, W - 1))
+                if (r, c) not in cands:
+                    cands.append((r, c))
+            stored = cands[::-1]  # best (ref) last
+            for i, (r, c) in enumerate(stored):
+                slots[g, k_max - k + i] = (r % 39) * W + c
+            want[g] = cands
+        bm = np.concatenate([
+            [3 + len(refs) + len(refs) * k_max, len(refs),
+             len(refs) * k_max], counts, slots.reshape(-1)])
+        pos, out_counts = dp.decode_bm(bm, n, bs, step, k_max)
+        for g in range(len(refs)):
+            assert out_counts[g] == counts[g]
+            got = [tuple(p) for p in pos[g][:out_counts[g]].tolist()]
+            assert got == want[g], (g, got, want[g])
+            # padding repeats the ref
+            assert all(tuple(p) == refs[g]
+                       for p in pos[g][out_counts[g]:].tolist())
