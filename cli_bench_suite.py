@@ -258,6 +258,27 @@ def main(argv=None) -> int:
     record("pnp_tdnet_b%d_bf16" % y.shape[0], ips, dt,
            {"batch": int(y.shape[0]), **ex})
 
+    # Parity-CNN rows at full batch, f32 vs bf16 I/O (VERDICT r4 #6: the
+    # reference-parity pipelines must keep nc=64; bf16 I/O is the one
+    # measured lever — probe showed dncnn17 +21%. Quality is pinned
+    # separately: --bf16 is measured quality-neutral, +-0.04 dB,
+    # tests/test_models.py bf16 parity)
+    fn = jax.jit(
+        lambda y, m: admm.pnp_admm_l1(
+            y, m, cfg_d, den, dtype=jnp.float32)[0].x.mean()
+    )
+    ips, dt, ex = timed(fn, (y, m), args.iter_num, y.shape[0])
+    record("pnp_dncnn17_b%d" % y.shape[0], ips, dt,
+           {"batch": int(y.shape[0]), **ex})
+    den16 = dn.build_denoiser("dncnn_15", compute_dtype=jnp.bfloat16)
+    fn = jax.jit(
+        lambda y, m: admm.pnp_admm_l1(
+            y, m, cfg_d, den16, dtype=jnp.float32)[0].x.mean()
+    )
+    ips, dt, ex = timed(fn, (y, m), args.iter_num, y.shape[0])
+    record("pnp_dncnn17_b%d_bf16" % y.shape[0], ips, dt,
+           {"batch": int(y.shape[0]), **ex})
+
     # PnP-HQS (DPIR ladder solver; same DnCNN prior)
     from pnp_admm_cnc_mri_tpu.solvers import hqs as hqs_mod
 

@@ -79,11 +79,17 @@ def main(argv=None) -> int:
                         "the winner. Omit for the registry default.")
     p.add_argument("--extra", default="",
                    help="extra CLI args, space-separated")
+    p.add_argument("--device", default="cpu", choices=["cpu", "default"],
+                   help="cpu (f32 CPU, bitwise-deterministic eval) or "
+                        "default (the session backend — the TPU where "
+                        "available; composite parity CPU vs TPU measured "
+                        "+-0.002 dB on the nlm-12 consensus row)")
     args = p.parse_args(argv)
 
-    import jax
+    if args.device == "cpu":
+        import jax
 
-    jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_platforms", "cpu")
 
     from pnp_admm_cnc_mri_tpu.utils import logger as logger_mod
 
@@ -104,9 +110,11 @@ def main(argv=None) -> int:
 
         best = None  # (held_in_avg, nlm, per_image, argv)
         for nlm in candidates:
-            argv_cli = [args.algo, "--cpu", "--model", model, "--tuned",
+            argv_cli = [args.algo, "--model", model, "--tuned",
                         "--testset", "set", "--no_save", "--results_dir",
                         "/tmp/eval_folds_results", "--weights", wpath]
+            if args.device == "cpu":
+                argv_cli.insert(1, "--cpu")
             if args.mask:
                 argv_cli += ["--mask", args.mask]
             if nlm is not None:

@@ -232,3 +232,40 @@ class TestEvalDeterminismAndProvenance:
         assert sweep_cli.main(argv) == 0
         rows = [json.loads(l) for l in out.read_text().splitlines()]
         assert rows and all(r.get("argv") == argv for r in rows)
+
+
+def test_bf16_pipeline_quality_parity(tmp_path, capsys):
+    """--bf16 must be quality-neutral end-to-end (<= 0.1 dB on set1) —
+    the parity gate for the suite's pnp_dncnn17_b64_bf16 throughput row
+    (VERDICT r4 #6)."""
+    from pnp_admm_cnc_mri_tpu.cli import main as cli_main
+
+    psnrs = {}
+    for tag, extra in (("f32", []), ("bf16", ["--bf16"])):
+        argv = [
+            "pnp_l1_d", "--cpu", "--model", "dncnn_25", "--tuned",
+            "--iter_num", "12", "--testset", "set1", "--no_save",
+            "--results_dir", str(tmp_path),
+        ] + extra
+        assert cli_main.main(argv) == 0
+        psnrs[tag] = json.loads(
+            capsys.readouterr().out.strip().splitlines()[-1])["psnr"]
+    assert abs(psnrs["f32"] - psnrs["bf16"]) <= 0.1, psnrs
+
+
+def test_images_filter_matches_full_set_slot(tmp_path, capsys):
+    """--images restricts the batch while preserving each image's exact
+    full-set observation (same mask slot, same fixed noise)."""
+    from pnp_admm_cnc_mri_tpu.cli import main as cli_main
+
+    argv = ["admm_l1", "--cpu", "--f64", "--iter_num", "5", "--no_save",
+            "--results_dir", str(tmp_path), "--testset", "set"]
+    assert cli_main.main(argv) == 0
+    full = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert cli_main.main(argv + ["--images", "05,11"]) == 0
+    part = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert part["images"] == 2
+    for img in ("05", "11"):
+        assert part["per_image_psnr"][img] == full["per_image_psnr"][img]
+    with pytest.raises(ValueError, match="not in testset"):
+        cli_main.main(argv + ["--images", "99"])
