@@ -61,6 +61,19 @@ def _dot_flops(eqn) -> float:
     return 2.0 * b * m * n * k
 
 
+def _fft_flops(eqn) -> float:
+    """fft: 5 N log2(N) per transformed length (the standard radix-2
+    count), x product of the batch dims. Covers fft/ifft/rfft/irfft."""
+    shape = eqn.invars[0].aval.shape
+    lengths = eqn.params.get("fft_lengths", ())
+    if not lengths:
+        return 0.0
+    n = float(np.prod(lengths))
+    batch = float(np.prod(shape)) / max(
+        float(np.prod(shape[len(shape) - len(lengths):])), 1.0)
+    return 5.0 * n * math.log2(max(n, 2.0)) * batch
+
+
 def _count_jaxpr(jaxpr) -> float:
     total = 0.0
     for eqn in jaxpr.eqns:
@@ -69,6 +82,8 @@ def _count_jaxpr(jaxpr) -> float:
             total += _conv_flops(eqn)
         elif name == "dot_general":
             total += _dot_flops(eqn)
+        elif name == "fft":
+            total += _fft_flops(eqn)
         elif name == "scan":
             body = eqn.params["jaxpr"].jaxpr
             total += eqn.params["length"] * _count_jaxpr(body)

@@ -14,6 +14,15 @@ appends an int array after the image planes). This probe
      (border vs interior refs), and whether mismatched sets are
      explained by shifted-inside windows / tie order.
 
+Final decoded layout (see scripts/bm_decompose_probe.py::decode_bm for
+the canonical decoder + tests/test_bm3d_api.py::TestExtMatch for the
+round-trip test): ``[total_ints, n_ref, n_slots, counts(n_ref),
+positions(n_ref * k_max fixed slots)]``; a group's used candidates are
+its LAST count slots, distance-DESCENDING with the reference block
+last; position = (abs_row % 39) * (n - bs + 1) + abs_col (39 = the C's
+circular row-buffer height, 2*19+1). Zero exported candidates fall
+outside the CLAMP window — the C clamps at borders like we do.
+
     python scripts/bm_match_probe.py --n 64 --sigma 0.1
 """
 

@@ -84,3 +84,11 @@ def test_real_denoiser_magnitude():
     x = jnp.zeros((1, 256, 256))
     gf = fl.matmul_flops(lambda u: den(u, 0), x) / 1e9
     assert 70.0 < gf < 76.0, gf
+
+
+def test_fft_counts_5nlogn():
+    import math
+
+    x = jnp.zeros((4, 64, 64), jnp.complex64)
+    got = fl.matmul_flops(lambda u: jnp.fft.fft2(u, axes=(-2, -1)).real.mean(), x)
+    assert got == 4 * 5 * 64 * 64 * math.log2(64 * 64)
