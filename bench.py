@@ -62,7 +62,14 @@ def _roofline(ips: float) -> dict:
     z, w + write x, z, w (5 f32 planes) + read the masked half-spectrum
     observation (2 half planes) ~= 1.57 MB; einsum intermediates that
     spill add more, so the memory bound below is optimistic (a true
-    speed-of-light).
+    speed-of-light). Round-5 device-trace attribution
+    (docs/PERF.md "Round-5 classical attribution",
+    results/classical_attr_r5.jsonl): the real binding resource is HBM
+    traffic on the DFT chain's materialized intermediates (~4.8
+    MB/image-iter streamed, 3x this minimum model; ~70% of the
+    while-body in 12 layout-alternating matmul fusions at ~60% of HBM
+    peak) — the achievable bound at the real traffic is ~171k
+    image-iters/s, of which the headline achieves ~57%.
     """
     from pnp_admm_cnc_mri_tpu.ops import fourier
 

@@ -50,9 +50,9 @@ def main(argv=None) -> int:
     from pnp_admm_cnc_mri_tpu.cli import main as cli_main
     from pnp_admm_cnc_mri_tpu.utils import logger as logger_mod
 
-    NLMS = [8.0, 10.0, 12.0, 13.0, 15.0, 18.0]
-    MS1 = [None, 30.0, 49.0]
-    ITERS = [24, 30, 40]
+    NLMS = [8.0, 10.0, 12.0, 14.0, 16.0, 18.0]
+    MS1 = [None, 49.0]
+    ITERS = [30, 40]
 
     best = {}
     for image in args.images.split(","):
