@@ -299,9 +299,62 @@ def _coeff_distances(
         d = jnp.sum((ref_feats - cand) ** 2, axis=-1)
         return jnp.where(valid, d, 1e10)
 
+    # The map batch size bounds the materialized gather block
+    # (bs, R, R, C): at 512^2 a fixed bs=64 holds 473 MB live and the
+    # whole prefilter path went superlinear (the round-4 "area-scaling
+    # cliff", 68 -> 498 ms full-call for 4x pixels); capping the block
+    # at ~64 MB restores linear scaling (ht_stage 434 -> 204 ms at
+    # 512^2, bs sweep in results/bm3d_cliff_r5.jsonl). Identical math —
+    # batching a map changes no per-element arithmetic.
+    block_bytes = r * r * c * 4
+    bs = int(np.clip(64 * 2**20 // max(block_bytes, 1), 4, 64))
     d = jax.lax.map(
-        one_offset, np.arange(n_off * n_off, dtype=np.int32), batch_size=64
+        one_offset, np.arange(n_off * n_off, dtype=np.int32), batch_size=bs
     )
+    return jnp.moveaxis(d, 0, -1)
+
+
+def _coeff_distances_shift(
+    coeffs: jnp.ndarray, ref_pos: np.ndarray, offs: np.ndarray
+) -> jnp.ndarray:
+    """Shifted-field formulation of :func:`_coeff_distances` (round 5;
+    measured and REJECTED — kept as the record).
+
+    The gather-based path is the BM3D area-scaling cliff (VERDICT r4
+    #5): its per-candidate 64-channel feature gather goes superlinear at
+    512^2 (measured 68 -> 498 ms full-call, 7.3x for 4x pixels,
+    `results/bm3d_cliff_r5.jsonl`; a norms+einsum expansion measured
+    WORSE — 207/765 ms — the take_along_axis selections are gathers
+    too). This path has no gathers at all: for each offset, shift the
+    whole (nh, nw, C) feature field with a dynamic_slice, square the
+    difference, reduce over channels, and index the reference grid —
+    the exact structure of `_block_distances`, with the channel
+    reduction replacing the box filter. Same distances bit-for-bit up
+    to f32 reduction order; traffic is 2*A*C per offset (linear in
+    area). CPU keeps the gather loop so oracle pins are unchanged.
+    """
+    nh, nw, c = coeffs.shape
+    n_off = offs.shape[0]
+    rr = jnp.asarray(ref_pos)
+    offs_j = jnp.asarray(offs)
+    pad = int(max(-offs.min(), offs.max()))
+    # poison the halo so out-of-image candidates rank last (their
+    # squared difference saturates; matches the gather path's 1e10)
+    zp = jnp.pad(coeffs, ((pad, pad), (pad, pad), (0, 0)),
+                 constant_values=1e3)
+
+    def one_offset(o_flat):
+        oi = offs_j[o_flat // n_off]
+        oj = offs_j[o_flat % n_off]
+        shifted = jax.lax.dynamic_slice(zp, (pad + oi, pad + oj, 0),
+                                        (nh, nw, c))
+        d2 = jnp.minimum((coeffs - shifted) ** 2, 1e8)
+        field = jnp.sum(d2, axis=-1)  # (nh, nw)
+        return field[rr][:, rr]
+
+    d = jax.lax.map(
+        one_offset, np.arange(n_off * n_off, dtype=np.int32), batch_size=32
+    )  # (O*O, R, R)
     return jnp.moveaxis(d, 0, -1)
 
 
@@ -321,6 +374,10 @@ def _match(
     ``match_coeffs``, distances use the prefiltered coefficient vectors.
     """
     if match_coeffs is not None:
+        # all backends: the gather path with the adaptive map batch (the
+        # round-5 cliff fix). Two dense reformulations measured WORSE on
+        # TPU (shifted-field 193/783 ms, norms+einsum 207/765 ms vs
+        # gather 68/204 at 256^2/512^2) — see _coeff_distances_shift.
         d = _coeff_distances(match_coeffs, ref_pos, offs)  # (R, R, O^2)
     elif jax.default_backend() == "cpu":
         d = _block_distances(match_img, ref_pos, offs, bs)  # (R, R, O^2)
