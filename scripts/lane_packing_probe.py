@@ -63,7 +63,8 @@ def main(argv=None) -> int:
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
                 feature_group_count=groups,
                 preferred_element_type=jnp.float32)
-            x = jnp.maximum(x, 0.0)
+            # back to the I/O dtype so bf16 stacks stay bf16 end-to-end
+            x = jnp.maximum(x, 0.0).astype(w.dtype)
         return x
 
     def measure(name, b, c, groups, dtype):
