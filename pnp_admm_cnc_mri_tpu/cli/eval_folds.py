@@ -134,6 +134,14 @@ def main(argv=None) -> int:
         selections[fold] = nlm_sel
         held_vals = {k: pim[k] for k in held}
         composite.update(held_vals)
+        if (nlm_sel is not None and len(candidates) > 1
+                and nlm_sel in (min(candidates), max(candidates))):
+            # a grid-edge winner means the validation optimum may lie
+            # outside the candidate list — the composite is still clean,
+            # but extend the grid before quoting it as the best
+            print(json.dumps({"fold": fold, "warning":
+                              f"selected nlm {nlm_sel} is a grid edge — "
+                              "extend --select_nlm"}), flush=True)
         print(json.dumps({"fold": fold, "selected_nlm": nlm_sel,
                           "held_out": {k: round(v, 3)
                                        for k, v in held_vals.items()}}),

@@ -135,3 +135,29 @@ def test_select_nlm_uses_held_in_only(tmp_path, monkeypatch, capsys):
     rows = [json.loads(line) for line in out.read_text().splitlines()]
     assert all("argv" in r for r in rows[:-1])
     assert all("held_in_avg" in r for r in rows[:-1])
+
+
+def test_select_nlm_warns_on_grid_edge(tmp_path, monkeypatch, capsys):
+    """A grid-edge validation winner emits a warning row (the optimum may
+    lie outside the candidate list)."""
+    from pnp_admm_cnc_mri_tpu.cli import eval_folds as ef
+    from pnp_admm_cnc_mri_tpu.cli import main as cli_main
+
+    for fold in FOLDS:
+        (tmp_path / f"drunet_{fold}.npz").write_bytes(b"x")
+    mpath = _write_manifest(tmp_path, FOLDS)
+
+    def fake_main(argv):
+        nlm = float(argv[argv.index("--nlm") + 1])
+        pim = {f"{i:02d}": 30.0 + nlm for i in range(1, 16)}  # edge wins
+        print(json.dumps({"psnr": 30.0 + nlm, "per_image_psnr": pim}))
+        return 0
+
+    monkeypatch.setattr(cli_main, "main", fake_main)
+    out = tmp_path / "rows.jsonl"
+    assert ef.main(["--manifest", mpath, "--select_nlm", "12,13,14",
+                    "--out", str(out)]) == 0
+    text = capsys.readouterr().out
+    assert "grid edge" in text
+    summary = json.loads(text.strip().splitlines()[-1])
+    assert all(v == 14.0 for v in summary["selected_nlm"].values())
