@@ -354,3 +354,80 @@ class TestTreeStackFilter:
         for i in range(g):
             np.testing.assert_allclose(ht_[i, : cc[i]], hm_[i, : cc[i]],
                                        atol=2e-5)
+
+
+@pytest.mark.slow
+class TestBlockmatchExportDecode:
+    """Pin the C blockmatch-export decode against the live binaries.
+
+    The round-5 A2 decomposition (PARITY.md) rests on the
+    reverse-engineered export layout; this regression net re-runs the
+    export on a seeded 64^2 scene and re-validates every decode rule, so
+    layout drift (or a broken oracle environment) is caught by the slow
+    suite rather than a silent mis-decode."""
+
+    def test_layout_invariants(self, tmp_path_factory):
+        import importlib.util
+        import subprocess
+        import sys as _sys
+
+        sys_path = list(_sys.path)
+        _sys.path.insert(0, "scripts")
+        try:
+            spec = importlib.util.spec_from_file_location(
+                "bm_decompose_probe", "scripts/bm_decompose_probe.py")
+            dp = importlib.util.module_from_spec(spec)
+            spec.loader.exec_module(dp)
+        finally:
+            _sys.path[:] = sys_path
+
+        from oracle import ensure_bm3d_scratch
+
+        scratch = str(tmp_path_factory.getbasetemp() / "bm_export")
+        ensure_bm3d_scratch(scratch)
+        rng = np.random.default_rng(0)
+        n = 64
+        z = np.clip(0.5 + 0.2 * rng.standard_normal((n, n)), 0, 1)
+        np.save(os.path.join(scratch, "bz.npy"), z)
+        driver = (
+            "import sys, numpy as np\n"
+            f"sys.path.insert(0, {scratch!r})\n"
+            "from bm3d307.bm3d import bm3d, BM3DStages\n"
+            f"z = np.load({os.path.join(scratch, 'bz.npy')!r})\n"
+            "y, bm = bm3d(z, 0.1, stage_arg=BM3DStages.HARD_THRESHOLDING,\n"
+            "             blockmatches=(True, False))\n"
+            f"np.save({os.path.join(scratch, 'bm.npy')!r}, "
+            "np.asarray(bm[0], np.int64))\n"
+        )
+        env = dict(os.environ)
+        env["LD_LIBRARY_PATH"] = os.path.join(scratch, "libs")
+        env.pop("PYTHONPATH", None)
+        r = subprocess.run([_sys.executable, "-c", driver], env=env,
+                           capture_output=True, text=True, timeout=600)
+        assert r.returncode == 0, r.stderr[-2000:]
+        bm = np.load(os.path.join(scratch, "bm.npy"))
+
+        # header invariants
+        assert bm[0] == bm.size
+        n_ref = int(bm[1])
+        W = n - 8 + 1
+        grid = list(range(0, W, 3))
+        if grid[-1] != W - 1:
+            grid.append(W - 1)
+        assert n_ref == len(grid) ** 2
+
+        pos, counts = dp.decode_bm(bm, n, 8, 3, 16)
+        refs = [(i, j) for i in grid for j in grid]
+        for g, (ri, rj) in enumerate(refs):
+            k = counts[g]
+            assert k & (k - 1) == 0 and 1 <= k <= 16
+            used = pos[g][:k]
+            # ref block present (stored last -> decoded FIRST after the
+            # best-first reversal)
+            assert tuple(used[0]) == (ri, rj), (g, used[0], (ri, rj))
+            # every candidate inside the CLAMP window (the round-5
+            # finding that killed the shift-inside suspect)
+            for r_, c_ in used:
+                assert abs(int(r_) - ri) <= 19 and abs(int(c_) - rj) <= 19
+            # padding repeats the ref
+            assert all(tuple(p) == (ri, rj) for p in pos[g][k:])
