@@ -71,3 +71,29 @@ def test_solver_fused_equals_unfused(rng):
     b, _ = admm.admm_cnc(y, m, cfg, dtype=jnp.float32, fused=False)
     d = np.abs(np.asarray(a.x) - np.asarray(b.x))
     assert d.max() < 5e-3 and d.mean() < 1e-5, (d.max(), d.mean())
+
+
+def test_full_iteration_kernel_matches_solver(rng):
+    """The round-5 full-iteration DC kernel (ops/pallas_dc.py, measured
+    and rejected on chip — docs/PERF.md) stays math-equal to the regular
+    matmul-DC solver in interpret mode."""
+    import jax
+    import jax.numpy as jnp
+
+    from pnp_admm_cnc_mri_tpu.config import ADMMConfig
+    from pnp_admm_cnc_mri_tpu.ops import pallas_dc
+    from pnp_admm_cnc_mri_tpu.solvers import admm
+
+    b, n = 4, 64
+    img = rng.random((b, n, n))
+    mask = (rng.random((n, n)) < 0.3).astype(np.float64)
+    y = jnp.asarray(np.fft.fft2(img, axes=(-2, -1)) * mask, jnp.complex64)
+    mj = jnp.asarray(mask, jnp.float32)
+    cfg = ADMMConfig(iter_num=8, lam=0.1, rho=0.015)
+
+    ref, _ = admm.admm_l1(y, mj, cfg, dtype=jnp.float32,
+                          dc_method="matmul", fused=False)
+    x_k, _, _ = pallas_dc.admm_l1_fused_kernel(y, mj, cfg, block=2,
+                                               interpret=True)
+    np.testing.assert_allclose(np.asarray(x_k), np.asarray(ref.x),
+                               atol=2e-6)
